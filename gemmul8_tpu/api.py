@@ -1,0 +1,179 @@
+"""Public cuBLAS-style front end.
+
+Parity target: the 12 `gemmul8::gemm<TA,TB,TC>` specializations and
+`workSize` of the reference (/root/reference/GEMMul8/include/gemmul8.hpp:
+18-287), re-expressed for JAX: C = alpha * op(A) @ op(B) + beta * C with
+per-call `num_moduli` (accuracy knob), `fastmode`, and complex computeType.
+
+dtype handling: FP64 operands are F64Bits on TPU (see types.py) or native
+f64 arrays on backends with real f64 (CPU). FP32 operands are plain float32
+arrays. Mixed combinations are free — encode dispatches per operand, CRT
+reconstruction rounds to the requested output type.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+from .core import gemm as _g
+from .types import C64Bits, ComputeType, F64Bits, bits_to_f64, f64_to_bits
+
+ArrayLike = Union[F64Bits, jax.Array, np.ndarray]
+
+
+def _backend_has_f64() -> bool:
+    return jax.default_backend() in ("cpu",)
+
+
+def _canon_real(x: ArrayLike) -> _g.Operand:
+    """Canonicalize a real operand to F64Bits or float32 jax array."""
+    if isinstance(x, F64Bits):
+        return x
+    if isinstance(x, np.ndarray):
+        if x.dtype == np.float64:
+            return f64_to_bits(x)
+        return jnp.asarray(x, jnp.float32)
+    if x.dtype == jnp.float64:
+        return f64_to_bits(x)
+    if x.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return x.astype(jnp.float32)
+    raise TypeError(f"unsupported operand dtype {x.dtype}")
+
+
+def _out_kind(a, b, out_dtype) -> str:
+    if out_dtype is not None:
+        s = str(out_dtype)
+        if "64" in s:
+            return "f64"
+        if "32" in s:
+            return "f32"
+        raise ValueError(f"unsupported out_dtype {out_dtype}")
+    # default: widest input type (reference default: TC follows the wider)
+    return "f64" if (isinstance(a, F64Bits) or isinstance(b, F64Bits)) else "f32"
+
+
+def _finalize(c_raw, out_kind: str, alpha, beta, c_in, want_native_f64: bool):
+    if out_kind == "f32":
+        out = c_raw
+        if alpha != 1.0:
+            out = out * jnp.float32(alpha)
+        if beta != 0.0:
+            if c_in is None:
+                raise ValueError("beta != 0 requires c")
+            out = out + jnp.float32(beta) * jnp.asarray(c_in, jnp.float32)
+        return out
+    # f64 target
+    if alpha != 1.0 or beta != 0.0:
+        from .core import softfloat as sf
+
+        alpha_b = sf.const_f64(alpha, c_raw.hi.shape)
+        out = sf.mul(c_raw, alpha_b) if alpha != 1.0 else c_raw
+        if beta != 0.0:
+            if c_in is None:
+                raise ValueError("beta != 0 requires c")
+            cb = c_in if isinstance(c_in, F64Bits) else f64_to_bits(
+                np.asarray(c_in, np.float64) if isinstance(c_in, np.ndarray)
+                else c_in)
+            bc = sf.mul(cb, sf.const_f64(beta, c_raw.hi.shape))
+            out = sf.add(out, bc)
+        c_raw = out
+    if want_native_f64 and _backend_has_f64():
+        return bits_to_f64(c_raw)
+    return c_raw
+
+
+def gemm(
+    a: ArrayLike,
+    b: ArrayLike,
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c: Optional[ArrayLike] = None,
+    num_moduli: int = 14,
+    fastmode: bool = True,
+    compute_type: ComputeType = ComputeType.REAL_DEFAULT,
+    out_dtype=None,
+):
+    """Emulated high-precision GEMM via Ozaki Scheme II on int8 MXU matmuls.
+
+    a: (m, k), b: (k, n). num_moduli in [2, 20] trades accuracy for int8
+    GEMM count (DGEMM-grade at ~14-15, beyond-FP64 at 18-20; FP32-grade at
+    ~7-8). fastmode=False adds one magnitude GEMM for tighter shifts
+    (~1 extra modulus worth of accuracy)."""
+    if not (2 <= num_moduli <= tables.MAX_MODULI):
+        raise ValueError(f"num_moduli must be in [2, {tables.MAX_MODULI}]")
+    if isinstance(a, C64Bits) or isinstance(b, C64Bits) or (
+            hasattr(a, "dtype") and jnp.issubdtype(
+                getattr(a, "dtype", None), jnp.complexfloating)):
+        from .core import complexgemm as cg
+
+        return cg.gemm_complex(a, b, alpha=alpha, beta=beta, c=c,
+                               num_moduli=num_moduli, fastmode=fastmode,
+                               compute_type=compute_type, out_dtype=out_dtype)
+    want_native_f64 = not isinstance(a, F64Bits) and not isinstance(b, F64Bits)
+    ca, cb_ = _canon_real(a), _canon_real(b)
+    kind = _out_kind(ca, cb_, out_dtype)
+    _g._check_shapes(ca, cb_)
+    c_raw = _jit_core(num_moduli, fastmode, kind)(ca, cb_)
+    return _finalize(c_raw, kind, alpha, beta, c, want_native_f64)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_core(num_moduli: int, fastmode: bool, kind: str):
+    return jax.jit(lambda a, b: _g.gemm_core(a, b, num_moduli, fastmode, kind))
+
+
+def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
+               out_dtype=None, iters: int = 1):
+    """Run gemm with the reference's 4-phase sync-based timing breakdown.
+
+    Returns (C, times) where times = [encode, int8_gemms, mod_reduce,
+    reconstruct] seconds (cf. include/gemmul8.hpp:24-26)."""
+    import time
+
+    ca, cb_ = _canon_real(a), _canon_real(b)
+    kind = _out_kind(ca, cb_, out_dtype)
+    p_enc, p_mm, p_mod, p_rec = _g.gemm_phases(ca, cb_, num_moduli, fastmode,
+                                               kind)
+
+    def _sync(x):
+        jax.tree_util.tree_map(
+            lambda t: t.block_until_ready() if hasattr(t, "block_until_ready")
+            else t, x)
+        return x
+
+    times = np.zeros(4)
+    out = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        a8, sft_a, b8, sft_b = _sync(p_enc(ca, cb_))
+        t1 = time.perf_counter()
+        c32 = _sync(p_mm(a8, b8))
+        t2 = time.perf_counter()
+        r = _sync(p_mod(c32))
+        t3 = time.perf_counter()
+        out = _sync(p_rec(r, sft_a, sft_b))
+        t4 = time.perf_counter()
+        times += [t1 - t0, t2 - t1, t3 - t2, t4 - t3]
+    times /= iters
+    if kind == "f64" and _backend_has_f64() and not isinstance(a, F64Bits):
+        out = bits_to_f64(out)
+    return out, list(times)
+
+
+def workspace_bytes(m: int, n: int, k: int, num_moduli: int,
+                    compute_type: ComputeType = ComputeType.REAL_DEFAULT) -> int:
+    """Peak auxiliary-buffer estimate, parity with gemmul8::workSize
+    (gemmul8.cu:27-147). JAX allocates internally; this reports the planner's
+    expectation for capacity planning / the low-memory mode decision."""
+    from .planner import workspace_bytes as _wb
+
+    return _wb(m, n, k, num_moduli, compute_type)

@@ -1,0 +1,283 @@
+"""Residue-slice encoding (Ozaki Scheme II) as exact integer bit manipulation.
+
+Given an FP64/FP32 operand, produce for each modulus m_j an int8 slice
+    A8[j] == trunc(A * 2^sft_row) (mod m_j), centered in [-128, 127],
+plus the per-row (or per-column) shift exponents `sft`, such that every
+emulated dot product satisfies |sum_k trunc(a)*trunc(b)| <= (M-1)/2 and is
+therefore exactly recoverable from its residues by CRT.
+
+TPU-native design: TPU has no exact f64 compute, so all of this runs on raw
+IEEE-754 bit patterns with int32 VPU ops — exponent-field extraction, funnel
+shifts of the significand, and Barrett-free modular reduction of 16-bit
+significand chunks against precomputed 2^(16*i) mod m_j constants.  This
+replaces the reference's f64 scalbn/trunc/FMA kernels
+(/root/reference/GEMMul8/src/scaling.hpp:155-230, 3371-3882) with integer
+arithmetic of identical mathematical effect.
+
+Shift selection (fast mode, "vecnorm"): per row,
+    sft = min(T-1, floor(-0.51*log2(nrm2_scaled) + T)) - ilogb(amax)
+with T = floor(log2(M-1)/2 - 1.5) and nrm2_scaled the amax-normalized
+round-up squared row norm — this enforces, via Cauchy-Schwarz,
+||trunc(a*2^sftA)|| * ||trunc(b*2^sftB)|| <= 2^(2T+2) <= (M-1)/2.
+(cf. reference scaling.hpp:3373-3383 and table.hpp:171-191.)
+
+Accurate mode ("int8tc"): a 7-bit round-up magnitude extraction plus ONE
+extra int8 GEMM |A|*|B| gives a true per-output product-magnitude bound;
+shifts are then sft = sft7 + floor(-0.51*log2(rowmax S) + T') with
+T' = floor(log2(M-1)/2 - 0.5) (cf. scaling.hpp:1502-1526, 3053-3136).
+
+Subnormal inputs are flushed to zero (documented deviation; the reference
+handles them via ilogb/scalbn).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..types import F64Bits
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# Significand chunking: the |value| is mant * 2^(q) with mant held as a list
+# of 16-bit chunks (int32), little-endian. f64: 4 chunks (53 bits);
+# f32: 2 chunks (24 bits).
+# ---------------------------------------------------------------------------
+
+def _f64_fields(hi: jax.Array, lo: jax.Array):
+    hi = hi.astype(_U32)
+    lo = lo.astype(_U32)
+    exp = ((hi >> 20) & _U32(0x7FF)).astype(_I32)       # biased exponent
+    sign = (hi >> 31).astype(_I32)
+    normal = exp > 0                                     # FTZ for subnormals
+    c0 = (lo & _U32(0xFFFF)).astype(_I32)
+    c1 = (lo >> 16).astype(_I32)
+    c2 = (hi & _U32(0xFFFF)).astype(_I32)
+    c3 = ((hi >> 16) & _U32(0xF)).astype(_I32) | jnp.where(normal, _I32(0x10), _I32(0))
+    chunks = [c0, c1, c2, c3]
+    # value = sign * mant53 * 2^(exp - 1075), mant53 = sum chunks[i] << 16i
+    return chunks, exp, sign, normal
+
+
+def _f32_fields(bits: jax.Array):
+    b = bits.astype(_U32)
+    exp = ((b >> 23) & _U32(0xFF)).astype(_I32)
+    sign = (b >> 31).astype(_I32)
+    normal = exp > 0
+    c0 = (b & _U32(0xFFFF)).astype(_I32)
+    c1 = ((b >> 16) & _U32(0x7F)).astype(_I32) | jnp.where(normal, _I32(0x80), _I32(0))
+    chunks = [c0, c1]
+    # value = sign * mant24 * 2^(exp - 150)
+    return chunks, exp, sign, normal
+
+
+def _funnel_shift_right(chunks: Sequence[jax.Array], u: jax.Array):
+    """Right-shift a multi-chunk (16-bit limbs in int32) integer by u in
+    [0, 63], elementwise. Returns chunks of the shifted value."""
+    n = len(chunks)
+    w = u >> 4          # whole-chunk shift, 0..3
+    b = u & _I32(15)    # bit shift, 0..15
+    padded = list(chunks) + [jnp.zeros_like(chunks[0])] * 4
+    out = []
+    for i in range(n):
+        # select chunk i+w and i+w+1
+        sw = padded[i]
+        sw1 = padded[i + 1]
+        for wv in range(1, 4):
+            sw = jnp.where(w == wv, padded[i + wv], sw)
+            sw1 = jnp.where(w == wv, padded[i + wv + 1], sw1)
+        d = ((sw >> b) | (sw1 << (16 - b))) & _I32(0xFFFF)
+        out.append(d)
+    return out
+
+
+def _dropped_bits_nonzero(chunks: Sequence[jax.Array], u: jax.Array):
+    """Whether any of the low u bits (u in [0,63]) of the chunked integer are
+    nonzero (the 'sticky' bit for round-up)."""
+    sticky = jnp.zeros_like(chunks[0], dtype=jnp.bool_)
+    for i, c in enumerate(chunks):
+        # bits of chunk i occupy positions [16i, 16i+15]
+        nbits = jnp.clip(u - 16 * i, 0, 16)
+        mask = (_I32(1) << nbits) - _I32(1)
+        sticky = sticky | ((c & mask) != 0)
+    return sticky
+
+
+def _residues_from_chunks(chunks, q, sign, normal, num_moduli: int,
+                          q_max_static: int):
+    """Centered residues of sign * (chunked mant) * 2^q for each modulus.
+
+    q may be negative (right shift / truncation) or positive up to
+    q_max_static (pure magnitude scaling, handled modularly)."""
+    u = jnp.clip(-q, 0, 63)
+    d = _funnel_shift_right(chunks, u)
+    qp = jnp.clip(q, 0, max(q_max_static, 0)) if q_max_static > 0 else None
+    neg = (sign == 1)
+
+    out = []
+    for j in range(num_moduli):
+        m = int(tables.MODULI[j])
+        acc = jnp.zeros_like(d[0])
+        for i, di in enumerate(d):
+            p = (1 << (16 * i)) % m
+            if p != 0:
+                acc = acc + di * _I32(p)
+        base = acc % _I32(m)
+        if q_max_static > 0:
+            f = jnp.where((qp & 1) != 0, _I32(2 % m if m == 2 else 2), _I32(1))
+            f = f * jnp.where((qp & 2) != 0, _I32(4), _I32(1))
+            f = f * jnp.where((qp & 4) != 0, _I32(16), _I32(1))
+            f = (f * jnp.where((qp & 8) != 0, _I32(256 % m), _I32(1))) % _I32(m)
+            if q_max_static >= 16:
+                f = (f * jnp.where((qp & 16) != 0, _I32((1 << 16) % m), _I32(1))) % _I32(m)
+            if q_max_static >= 32:
+                f = (f * jnp.where((qp & 32) != 0, _I32((1 << 32) % m), _I32(1))) % _I32(m)
+            base = (base * f) % _I32(m)
+        # apply sign: residue of -x is (m - r) mod m
+        r = jnp.where(neg & (base > 0), _I32(m) - base, base)
+        # center into [-128, 127]
+        rc = r - jnp.where(r >= _I32((m + 1) // 2), _I32(m), _I32(0))
+        rc = jnp.where(normal, rc, _I32(0))
+        out.append(rc.astype(jnp.int8))
+    return jnp.stack(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Row/column statistics and shift selection.
+# ---------------------------------------------------------------------------
+
+def _scaled_abs_f32(chunks, exp, emax, normal, mant_bits: int):
+    """|x| * 2^-(ilogb of row max) as f32 in [0, 2): exact exponent-field
+    arithmetic, top-23-bit mantissa."""
+    # f32 biased exponent of the scaled value
+    eb = exp - emax + _I32(127)
+    if mant_bits == 53:
+        m23 = ((chunks[3] & _I32(0xF)) << 19) | (chunks[2] << 3) | (chunks[1] >> 13)
+    else:
+        m23 = ((chunks[1] & _I32(0x7F)) << 16) | chunks[0]
+    f32bits = ((eb << 23) | m23).astype(_U32)
+    val = jax.lax.bitcast_convert_type(f32bits, jnp.float32)
+    return jnp.where(normal & (eb >= 1), val, jnp.float32(0))
+
+
+def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int, mant_bits: int):
+    """Fast-mode ('vecnorm') per-row/col shift selection."""
+    t_f = tables.threshold_fast(num_moduli)
+    emax = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
+    xs = _scaled_abs_f32(chunks, exp, emax, normal, mant_bits)
+    k = xs.shape[axis]
+    nrm2 = jnp.sum(xs * xs, axis=axis, keepdims=True, dtype=jnp.float32)
+    # round-up guard for f32 summation error, then log2 (>= 0 by scaling)
+    nrm2 = jnp.maximum(nrm2 * (1.0 + k * 2.0 ** -23), 1.0)
+    lgn = jnp.log2(nrm2)
+    bias = 1023 if mant_bits == 53 else 127
+    sft = (
+        jnp.minimum(_I32(t_f - 1),
+                    jnp.floor(-0.51 * lgn + t_f).astype(_I32))
+        - (emax - _I32(bias))
+    )
+    # degenerate all-zero rows: no shift
+    anyfinite = jnp.any(normal, axis=axis, keepdims=True)
+    sft = jnp.where(anyfinite, sft, _I32(0))
+    return sft, emax
+
+
+def _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli: int,
+                     mant_bits: int):
+    mant_shift = 1075 if mant_bits == 53 else 150
+    q = exp - _I32(mant_shift) + sft
+    t_f = tables.threshold_fast(num_moduli)
+    t_a = tables.threshold_accurate(num_moduli)
+    q_max_static = max(t_a - 1 - (mant_bits - 1), 0)
+    return _residues_from_chunks(chunks, q, sign, normal, num_moduli,
+                                 q_max_static)
+
+
+# ---------------------------------------------------------------------------
+# Public encode entry points. `axis` is the contraction axis of the operand:
+# for A (m, k) pass axis=1 (row stats); for B (k, n) pass axis=0 (col stats).
+# ---------------------------------------------------------------------------
+
+def encode_fast_f64(bits: F64Bits, num_moduli: int, axis: int):
+    """Fast-mode encode of an f64 operand. Returns (slices (L, *shape) int8,
+    sft int32 with keepdims shape)."""
+    chunks, exp, sign, normal = _f64_fields(bits.hi, bits.lo)
+    sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 53)
+    slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 53)
+    return slices, sft
+
+
+def encode_fast_f32(x: jax.Array, num_moduli: int, axis: int):
+    """Fast-mode encode of an f32 operand (native f32 array)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
+    chunks, exp, sign, normal = _f32_fields(bits)
+    sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 24)
+    slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24)
+    return slices, sft
+
+
+# ---------------------------------------------------------------------------
+# Accurate mode ("int8tc"): 7-bit round-up magnitudes -> one int8 GEMM
+# |A|*|B| -> per-row/col product-magnitude-based shifts -> encode.
+# ---------------------------------------------------------------------------
+
+def _extract_mag7(chunks, exp, normal, emax, mant_bits: int):
+    """ceil(|x| * 2^(5 - ilogb(amax))) as int8 in [0, 64] (round-up 7-bit
+    magnitude; cf. reference scaling.hpp:1508-1524)."""
+    # |x| = mant * 2^(exp - bias - (mant_bits-1)); scaled by 2^(5-(emax-bias)):
+    # v = mant * 2^(exp - emax - (mant_bits-6)); shift u = emax + mant_bits-6 - exp
+    u = jnp.clip(emax + _I32(mant_bits - 6) - exp, 0, 63)
+    d = _funnel_shift_right(chunks, u)
+    v = d[0]  # result < 2^7, higher chunks zero
+    sticky = _dropped_bits_nonzero(chunks, u)
+    v = v + sticky.astype(_I32)
+    v = jnp.where(normal, v, _I32(0))
+    return v.astype(jnp.int8)
+
+
+def mag7_f64(bits: F64Bits, axis: int):
+    chunks, exp, sign, normal = _f64_fields(bits.hi, bits.lo)
+    emax = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
+    return _extract_mag7(chunks, exp, normal, emax, 53), emax
+
+
+def mag7_f32(x: jax.Array, axis: int):
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
+    chunks, exp, sign, normal = _f32_fields(bits)
+    emax = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
+    return _extract_mag7(chunks, exp, normal, emax, 24), emax
+
+
+def accurate_sft(smax: jax.Array, emax: jax.Array, num_moduli: int,
+                 mant_bits: int):
+    """Accurate-mode shift from the |A|*|B| product-magnitude row/col max.
+
+    smax: int32 (keepdims shape) max over the int8 magnitude GEMM output.
+    sft = (5 - ilogb(amax)) + floor(-0.51*log2(smax) + T_accu), capped so the
+    per-element magnitude stays below 2^(T_accu)."""
+    t_a = tables.threshold_accurate(num_moduli)
+    bias = 1023 if mant_bits == 53 else 127
+    e = emax - _I32(bias)
+    s = jnp.maximum(smax, 1).astype(jnp.float32)
+    sft = _I32(5) - e + jnp.floor(-0.51 * jnp.log2(s) + t_a).astype(_I32)
+    sft = jnp.minimum(sft, _I32(t_a - 1) - e)
+    return sft
+
+
+def encode_accurate_f64(bits: F64Bits, sft: jax.Array, num_moduli: int):
+    chunks, exp, sign, normal = _f64_fields(bits.hi, bits.lo)
+    return _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 53)
+
+
+def encode_accurate_f32(x: jax.Array, sft: jax.Array, num_moduli: int):
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
+    chunks, exp, sign, normal = _f32_fields(bits)
+    return _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24)

@@ -1,0 +1,198 @@
+"""Exact CRT reconstruction + inverse scaling.
+
+Recovers C_ij = (sum_j' w_j' * r_j' mod M, centered) * 2^-(sftA_i + sftB_j)
+from the per-modulus residues of the slice products, exactly rounded
+(round-to-nearest-even) to the target dtype.
+
+TPU-native replacement for the reference's f64/double-double CRT kernels
+(/root/reference/GEMMul8/src/inverse_scaling.hpp:35-1005): instead of
+floating-point NMi weights with mod-M recentering in double-double, we
+accumulate the full integer X = sum w_j * r_j in 16-bit int32 limbs (exact),
+reduce mod M with a float-estimated quotient plus exact correction steps,
+center to (-M/2, M/2), and round the scaled result directly into IEEE-754
+bit patterns.  This is exact — strictly tighter than the reference's FP
+reconstruction — and is all int32 VPU work, which is what the TPU is good at
+when the MXU is busy with the next slice batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import tables
+from ..types import F64Bits
+from . import limbs as lb
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+
+def _accumulate_weighted(r: jax.Array, num_moduli: int):
+    """X = sum_j crt_weight[j] * r[j] in 16-bit limbs.
+
+    r: (L, ...) int32 canonical residues in [0, m_j).
+    Returns canonical limb list (length tables.num_limbs(L))."""
+    nl = tables.num_limbs(num_moduli)
+    w = tables.crt_weight_limbs(num_moduli)  # (L, nl) ints < 2^16
+    acc = [jnp.zeros(r.shape[1:], _I32) for _ in range(nl)]
+    for j in range(num_moduli):
+        rj = r[j]
+        for l in range(nl):
+            wl = int(w[j, l])
+            if wl:
+                acc[l] = acc[l] + rj * _I32(wl)
+    # acc[l] < 20 * 255 * 65535 < 2^29: safe; one carry pass canonicalizes.
+    return lb.carry_propagate(acc)
+
+
+def _mod_m_centered(x, num_moduli: int):
+    """Reduce canonical limbs x (0 <= x < 255*L*M) mod M and center.
+
+    Returns (mag_limbs, neg) with value = (-1)^neg * mag, mag <= M/2."""
+    nl = len(x)
+    mm = tables.big_m(num_moduli)
+    m_limbs = [int(v) for v in tables.big_m_limbs(num_moduli)]
+    nb = mm.bit_length()
+
+    # Quotient estimate t = floor(X / M), t < 255*num_moduli + 1.
+    # Use f32 top-limb approximation biased low, then correct upward.
+    top = (nb - 1) // 16  # index of M's top nonzero limb
+    scale = 16 * (top - 1)
+    xf = jnp.zeros(x[0].shape, jnp.float32)
+    for l in range(max(top - 1, 0), nl):
+        xf = xf + x[l].astype(jnp.float32) * jnp.float32(2.0 ** (16 * l - scale))
+    mf = float((mm >> scale) + 1) if scale >= 0 else float(mm << -scale)
+    # mf slightly over-estimates M in the same scale -> t_est <= t
+    t_est = jnp.floor(xf / jnp.float32(mf) * (1.0 - 2.0 ** -18)).astype(_I32)
+    t_est = jnp.maximum(t_est, 0)
+    x, _ = lb.scale_const_sub(x, t_est, m_limbs)
+    # Correct: a few conditional subtractions (t_est undershoots by O(1)).
+    for _ in range(4):
+        ge = lb.geq_const(x, m_limbs)
+        x = lb.sub_const_if(x, ge, m_limbs)
+    # Center: if X > M/2, value = X - M (negative), magnitude M - X.
+    half_limbs = [int(v) for v in _const_limbs(mm // 2, nl)]
+    neg = _gt_const(x, half_limbs)
+    g = lb.const_minus(m_limbs, x)
+    mag = lb.select(neg, g, x)
+    return mag, neg
+
+
+def _const_limbs(v: int, n: int):
+    return [(v >> (16 * i)) & 0xFFFF for i in range(n)]
+
+
+def _gt_const(a, const_limbs):
+    """a > C for canonical limbs vs python-int constant limbs."""
+    result = jnp.zeros_like(a[0], dtype=jnp.bool_)
+    decided = jnp.zeros_like(a[0], dtype=jnp.bool_)
+    for xa, cl in zip(reversed(a), reversed([int(c) for c in const_limbs])):
+        gt = xa > _I32(cl)
+        lt = xa < _I32(cl)
+        result = jnp.where(~decided & gt, True, result)
+        result = jnp.where(~decided & lt, False, result)
+        decided = decided | gt | lt
+    return jnp.where(decided, result, False)
+
+
+def _round_to_float(mag, neg, e_fix, mant_bits: int):
+    """Exactly round value = (-1)^neg * mag * 2^e_fix to an IEEE float.
+
+    mag: canonical limb list; e_fix: int32 exponent (elementwise);
+    mant_bits: 53 for f64, 24 for f32.
+    Returns (sign, biased_exp, mant_chunks) with the implicit bit stripped,
+    handling subnormals, zero, and overflow->inf."""
+    emax_field = 0x7FF if mant_bits == 53 else 0xFF
+    bias = 1023 if mant_bits == 53 else 127
+    n_mant_chunks = 4 if mant_bits == 53 else 2
+
+    p = lb.msb_position(mag)          # -1 if zero
+    is_zero = p < 0
+    # Unbiased exponent of the value; biased field before subnormal handling
+    eb = p + e_fix + _I32(bias)
+    # Right-shift amount to put MSB at bit (mant_bits-1), plus subnormal
+    # extension when eb <= 0.
+    sr = p - _I32(mant_bits - 1) + jnp.maximum(0, 1 - eb)
+    u = jnp.clip(sr, 0, 16 * (len(mag) + 1))
+    sh = lb.shift_right(mag, u, n_mant_chunks + 1)
+    # round bit = bit (u-1); sticky = bits below (u-1)
+    rb_pos = jnp.maximum(u - 1, 0)
+    rbit_limbs = lb.shift_right(mag, rb_pos, 1)
+    rbit = jnp.where(u > 0, rbit_limbs[0] & _I32(1), _I32(0))
+    sticky = jnp.where(u > 1, lb.dropped_nonzero(mag, rb_pos), False)
+    # left shift when sr < 0 (value has fewer bits than the mantissa)
+    v = jnp.clip(-sr, 0, 16 * n_mant_chunks)
+    left = lb.shift_left(mag[: n_mant_chunks + 1], v, n_mant_chunks + 1)
+    mant = lb.select(sr < 0, left, sh)
+    # round to nearest even
+    inc = (rbit == 1) & (sticky | ((mant[0] & _I32(1)) == 1))
+    mant = lb.carry_propagate([mant[0] + inc.astype(_I32)] + list(mant[1:]))
+    # mantissa overflow (2^mant_bits): renormalize
+    ovf_chunk = (mant_bits // 16)
+    ovf_bit = mant_bits % 16
+    overflowed = (mant[ovf_chunk] >> ovf_bit) & _I32(1)
+    # if overflowed, mantissa is exactly 2^mant_bits -> shift right by 1
+    # (all lower bits zero), i.e. just clear and bump exponent
+    mant[ovf_chunk] = mant[ovf_chunk] & _I32((1 << ovf_bit) - 1)
+    # keep implicit-bit-stripped mantissa: clear bit (mant_bits-1)
+    top_chunk = (mant_bits - 1) // 16
+    top_bit = (mant_bits - 1) % 16
+    eb_eff = jnp.where(eb <= 0, _I32(0), eb) + overflowed
+    # after subnormal shift the implicit bit may be absent; stripping a zero
+    # bit is harmless
+    subnormal_now = eb_eff == 0
+    mant[top_chunk] = jnp.where(
+        subnormal_now, mant[top_chunk],
+        mant[top_chunk] & _I32(~(1 << top_bit) & 0xFFFF))
+    # subnormal rounding may carry into the exponent: if after rounding the
+    # implicit bit appeared in a subnormal, eb becomes 1 with that bit
+    # stripped — IEEE addition of bit patterns makes this automatic when we
+    # assemble exp + mant as an integer. We emulate by detecting it:
+    sub_carry = subnormal_now & (((mant[top_chunk] >> top_bit) & _I32(1)) == 1)
+    eb_eff = eb_eff + sub_carry.astype(_I32)
+    mant[top_chunk] = jnp.where(
+        sub_carry, mant[top_chunk] & _I32(~(1 << top_bit) & 0xFFFF),
+        mant[top_chunk])
+    # overflow to inf
+    is_inf = eb_eff >= _I32(emax_field)
+    eb_eff = jnp.where(is_inf, _I32(emax_field), eb_eff)
+    mant = [jnp.where(is_inf | is_zero, _I32(0), c) for c in mant]
+    eb_eff = jnp.where(is_zero, _I32(0), eb_eff)
+    return eb_eff, mant
+
+
+def _assemble_f64(neg, eb, mant) -> F64Bits:
+    lo = (mant[0] | (mant[1] << 16)).astype(_U32)
+    hi = (mant[2] | ((mant[3] & _I32(0xF)) << 16) | (eb << 20)
+          | (neg.astype(_I32) << 31)).astype(_U32)
+    return F64Bits(hi, lo)
+
+
+def _assemble_f32(neg, eb, mant) -> jax.Array:
+    bits = (mant[0] | ((mant[1] & _I32(0x7F)) << 16) | (eb << 23)
+            | (neg.astype(_I32) << 31)).astype(_U32)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def reconstruct(r: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
+                num_moduli: int, out_dtype: str):
+    """CRT-reconstruct and inverse-scale the emulated GEMM result.
+
+    r: (L, m, n) int32 canonical residues of the slice products.
+    sft_a: (m, 1) int32; sft_b: (1, n) int32 (encode shifts).
+    out_dtype: 'f64' -> F64Bits, 'f32' -> jnp.float32 array.
+    """
+    x = _accumulate_weighted(r, num_moduli)
+    mag, negf = _mod_m_centered(x, num_moduli)
+    e_fix = -(sft_a + sft_b)
+    if out_dtype == "f64":
+        eb, mant = _round_to_float(mag, negf, e_fix, 53)
+        return _assemble_f64(negf, eb, mant)
+    elif out_dtype == "f32":
+        eb, mant = _round_to_float(mag, negf, e_fix, 24)
+        return _assemble_f32(negf, eb, mant)
+    else:
+        raise ValueError(out_dtype)

@@ -1,0 +1,66 @@
+"""Per-modulus int8 slice products on the MXU + modular reduction.
+
+The error-free core of the scheme: for each modulus the centered residue
+slices satisfy |a8|,|b8| <= 128, so with k <= 2^17 the int8 x int8 -> int32
+dot products are exact, and C32 mod m_j recovers the residue of the true
+integer product.  (Reference: the cublasGemmEx CUDA_R_8I loop at
+/root/reference/GEMMul8/src/gemmul8.cu:259-275 and the Barrett uint8
+reduction at src/conv_32i_2_8u.hpp:25-56.)
+
+On TPU the batched moduli axis maps to one batched dot_general, which XLA
+lowers to native int8 MXU matmuls; the mod-reduce is a VPU epilogue XLA
+fuses into the surrounding graph (a Pallas fused-epilogue matmul variant
+lives in gemmul8_tpu.pallas for when fusion isn't enough).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import tables
+
+_I32 = jnp.int32
+
+
+def slice_products(a8: jax.Array, b8: jax.Array) -> jax.Array:
+    """(L, m, k) int8 x (L, k, n) int8 -> (L, m, n) int32, exact."""
+    return jax.lax.dot_general(
+        a8, b8,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def mod_reduce(c32: jax.Array, num_moduli: int) -> jax.Array:
+    """Canonical residues of the slice products: (L, m, n) int32 in [0, m_j).
+
+    jnp floor-mod with positive divisor yields [0, m) for any sign. The
+    modulus-256 slice is a pure bitmask."""
+    outs = []
+    for j in range(num_moduli):
+        m = int(tables.MODULI[j])
+        if m == 256:
+            outs.append(c32[j] & _I32(255))
+        else:
+            outs.append(c32[j] % _I32(m))
+    return jnp.stack(outs, axis=0)
+
+
+def int8_peak_probe(n: int = 4096, iters: int = 10) -> float:
+    """Raw int8 MXU throughput probe (TOPS) — the analog of the reference's
+    INT8-GEMM ones-matrix row (testing/test_double.cu:287-309)."""
+    import time
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.randint(key, (n, n), -128, 128, dtype=jnp.int8)
+    b = jax.random.randint(key, (n, n), -128, 128, dtype=jnp.int8)
+    f = jax.jit(lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
+    f(a, b).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = f(a, b)
+    c.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n ** 3 / dt / 1e12

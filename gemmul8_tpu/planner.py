@@ -1,0 +1,74 @@
+"""Workspace / memory planner.
+
+Parity with gemmul8::workSize (/root/reference/GEMMul8/src/gemmul8.cu:27-147)
+— the reference carves A8i | B8i | C8u | C32i | sftA | sftB out of one user
+buffer; under JAX/XLA the allocator owns memory, so this planner (a) reports
+the expected peak auxiliary footprint for capacity planning, and (b) decides
+the moduli-chunked low-memory schedule (the reference's `memory-lt` branch
+capability): when the slice buffers exceed a budget, the moduli loop is
+split into chunks whose slices are encoded, multiplied, reduced and
+CRT-accumulated before the next chunk is materialized.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from . import tables
+from .types import ComputeType
+
+
+def _ceil_to(x: int, a: int) -> int:
+    return (x + a - 1) // a * a
+
+
+def workspace_bytes(m: int, n: int, k: int, num_moduli: int,
+                    compute_type: ComputeType = ComputeType.REAL_DEFAULT) -> int:
+    """Expected peak auxiliary bytes for one emulated GEMM call."""
+    k_pad = _ceil_to(k, 128)   # TPU lane alignment (reference pads to 16)
+    m_pad = _ceil_to(m, 8)
+    n_pad = _ceil_to(n, 8)
+    if compute_type == ComputeType.COMPLEX_BIG_MATRIX_ENCODE:
+        m_pad, k_pad = 2 * m_pad, 2 * k_pad
+    mult = 2 if compute_type in (ComputeType.COMPLEX_CLASSIC_MULT,
+                                 ComputeType.COMPLEX_KARATSUBA_MULT) else 1
+    slices = num_moduli * (m_pad * k_pad + k_pad * n_pad) * mult      # int8
+    c32 = m_pad * n_pad * 4 * mult                                     # int32
+    residues = num_moduli * m_pad * n_pad * 4 * mult                   # int32
+    limbs = tables.num_limbs(num_moduli) * m_pad * n_pad * 4           # int32
+    sft = (m_pad + n_pad) * 4
+    return slices + c32 + residues + limbs + sft
+
+
+@dataclass(frozen=True)
+class ModuliSchedule:
+    """How the moduli loop is chunked for the low-memory mode."""
+
+    num_moduli: int
+    chunk: int  # moduli per materialized chunk
+
+    @property
+    def num_chunks(self) -> int:
+        return math.ceil(self.num_moduli / self.chunk)
+
+    def chunks(self):
+        out = []
+        j = 0
+        while j < self.num_moduli:
+            out.append((j, min(self.chunk, self.num_moduli - j)))
+            j += self.chunk
+        return out
+
+
+def plan_schedule(m: int, n: int, k: int, num_moduli: int,
+                  budget_bytes: int | None = None) -> ModuliSchedule:
+    """Pick the moduli chunking. None budget -> all moduli at once."""
+    if budget_bytes is None:
+        return ModuliSchedule(num_moduli, num_moduli)
+    per_modulus = (_ceil_to(m, 8) * _ceil_to(k, 128)
+                   + _ceil_to(k, 128) * _ceil_to(n, 8)
+                   + _ceil_to(m, 8) * _ceil_to(n, 8) * 4)
+    fixed = tables.num_limbs(num_moduli) * _ceil_to(m, 8) * _ceil_to(n, 8) * 4
+    chunk = max(1, (budget_bytes - fixed) // max(per_modulus, 1))
+    return ModuliSchedule(num_moduli, min(int(chunk), num_moduli))
