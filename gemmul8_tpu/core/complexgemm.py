@@ -1,0 +1,250 @@
+"""Complex GEMM emulation: three strategies over the real residue engine.
+
+Parity with the reference's computeType_t algorithms
+(/root/reference/GEMMul8/src/gemmul8.cu:579-1052):
+
+- BIG_MATRIX_ENCODE: encode W as the real block matrix [[Re,-Im],[Im,Re]]
+  (A side) resp. [[Re],[Im]] (B side) -> ONE int8 GEMM per modulus at
+  doubled sizes (gemmul8.cu:579-723). We never materialize the block
+  matrix in floats: Re/Im are encoded once with a shared per-row/col shift
+  and the int8 slices are assembled blockwise (negation of a centered
+  residue is exact in int8, incl. the -128 wraparound for modulus 256).
+- CLASSIC_MULT: 4 int8 GEMMs per modulus, Re=RR-II, Im=RI+IR combined in
+  int32 residue space (gemmul8.cu:892-1052).
+- KARATSUBA_MULT: 3 GEMMs per modulus: E=Re*Re', F=Im*Im',
+  G=(Re+Im)(Re'+Im'); Re=E-F, Im=G-E-F; the (Re+Im) operand slices are
+  int8 adds re-centered mod m (gemmul8.cu:725-890, mat_utils.hpp:30-83).
+  Unlike the reference (alpha=1,beta=0 only, inverse_scaling.hpp:1025-1062)
+  all strategies here support the full epilogue.
+
+Key invariant: Re and Im of one row/col share a single shift exponent
+(block products mix them), chosen from the joint norm, so every
+reconstructed value is |.| <= ||z_row|| * ||z_col|| <= (M-1)/2.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..types import C64Bits, ComputeType, F64Bits, bits_to_f64, f64_to_bits
+from . import encode as enc
+from . import reconstruct as rec
+from . import slicegemm as sg
+
+_I32 = jnp.int32
+
+# int32-exactness bounds on k per strategy (|sum| < 2^31):
+# big-matrix contracts over 2k; classic sums two k-products; karatsuba
+# combines three.
+_KMAX = {
+    ComputeType.COMPLEX_BIG_MATRIX_ENCODE: tables.MAX_K // 2,
+    ComputeType.COMPLEX_CLASSIC_MULT: tables.MAX_K // 2,
+    ComputeType.COMPLEX_KARATSUBA_MULT: tables.MAX_K // 4,
+}
+
+
+def _recenter_add_int8(x8: jax.Array, y8: jax.Array, num_moduli: int):
+    """Residue-space add with re-centering: (x + y) mod m in [-128, 127].
+    TPU-native version of the reference's add_int8_mat (mat_utils.hpp:30-83)."""
+    t = x8.astype(_I32) + y8.astype(_I32)  # (L, ...) in [-255, 255]
+    outs = []
+    for j in range(num_moduli):
+        m = int(tables.MODULI[j])
+        tj = t[j]
+        if m == 256:
+            outs.append(tj.astype(jnp.int8))
+            continue
+        half = (m - 1) // 2
+        tj = tj - jnp.where(tj > half, _I32(m), _I32(0))
+        tj = tj + jnp.where(tj < -half, _I32(m), _I32(0))
+        outs.append(tj.astype(jnp.int8))
+    return jnp.stack(outs, axis=0)
+
+
+def _encode_pair(re, im, num_moduli: int, axis: int, fastmode: bool,
+                 other=None):
+    if fastmode:
+        return enc.encode_fast_complex(re, im, num_moduli, axis)
+    raise RuntimeError("accurate-mode complex uses joint driver")
+
+
+def _accurate_sfts(a_re, a_im, b_re, b_im, num_moduli: int):
+    mag_a, emax_a = enc.mag7_complex(a_re, a_im, axis=1)
+    mag_b, emax_b = enc.mag7_complex(b_re, b_im, axis=0)
+    s = jax.lax.dot_general(mag_a, mag_b, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    mant_a = 53 if isinstance(a_re, F64Bits) else 24
+    mant_b = 53 if isinstance(b_re, F64Bits) else 24
+    sft_a = enc.accurate_sft(jnp.max(s, axis=1, keepdims=True), emax_a,
+                             num_moduli, mant_a)
+    sft_b = enc.accurate_sft(jnp.max(s, axis=0, keepdims=True), emax_b,
+                             num_moduli, mant_b)
+    return sft_a, sft_b
+
+
+def _encode_complex_operands(a_re, a_im, b_re, b_im, num_moduli, fastmode):
+    if fastmode:
+        a8r, a8i, sft_a = enc.encode_fast_complex(a_re, a_im, num_moduli, 1)
+        b8r, b8i, sft_b = enc.encode_fast_complex(b_re, b_im, num_moduli, 0)
+    else:
+        sft_a, sft_b = _accurate_sfts(a_re, a_im, b_re, b_im, num_moduli)
+        a8r, a8i = enc.encode_accurate_complex(a_re, a_im, sft_a, num_moduli)
+        b8r, b8i = enc.encode_accurate_complex(b_re, b_im, sft_b, num_moduli)
+    return a8r, a8i, sft_a, b8r, b8i, sft_b
+
+
+def _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli, out_kind):
+    """One reconstruct call over [Re; Im] stacked along rows."""
+    r2 = jnp.concatenate([r_re, r_im], axis=1)
+    sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
+    out = rec.reconstruct(r2, sft_a2, sft_b, num_moduli, out_kind)
+    m = r_re.shape[1]
+    if out_kind == "f64":
+        return out[:m], out[m:]
+    return out[:m], out[m:]
+
+
+def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
+                      fastmode: bool, compute_type: ComputeType,
+                      out_kind: str):
+    """Emulated complex GEMM on canonical (re, im) operand pairs.
+    Returns (re, im) in the target real format."""
+    if compute_type in (ComputeType.REAL_DEFAULT, None):
+        compute_type = ComputeType.COMPLEX_BIG_MATRIX_ENCODE
+    k = a_re.shape[1]
+    if k > _KMAX[compute_type]:
+        raise ValueError(
+            f"k={k} exceeds the int32-exactness bound for {compute_type}")
+
+    a8r, a8i, sft_a, b8r, b8i, sft_b = _encode_complex_operands(
+        a_re, a_im, b_re, b_im, num_moduli, fastmode)
+
+    if compute_type == ComputeType.COMPLEX_BIG_MATRIX_ENCODE:
+        neg_a8i = (-a8i.astype(_I32)).astype(jnp.int8)
+        top = jnp.concatenate([a8r, neg_a8i], axis=2)
+        bot = jnp.concatenate([a8i, a8r], axis=2)
+        a_blk = jnp.concatenate([top, bot], axis=1)          # (L, 2m, 2k)
+        b_blk = jnp.concatenate([b8r, b8i], axis=1)          # (L, 2k, n)
+        c32 = sg.slice_products(a_blk, b_blk)                # (L, 2m, n)
+        r = sg.mod_reduce(c32, num_moduli)
+        sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
+        out = rec.reconstruct(r, sft_a2, sft_b, num_moduli, out_kind)
+        m = a_re.shape[0]
+        return out[:m], out[m:]
+
+    if compute_type == ComputeType.COMPLEX_CLASSIC_MULT:
+        rr = sg.slice_products(a8r, b8r)
+        ii = sg.slice_products(a8i, b8i)
+        ri = sg.slice_products(a8r, b8i)
+        ir = sg.slice_products(a8i, b8r)
+        r_re = sg.mod_reduce(rr - ii, num_moduli)
+        r_im = sg.mod_reduce(ri + ir, num_moduli)
+        return _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli,
+                                 out_kind)
+
+    if compute_type == ComputeType.COMPLEX_KARATSUBA_MULT:
+        s_a = _recenter_add_int8(a8r, a8i, num_moduli)
+        s_b = _recenter_add_int8(b8r, b8i, num_moduli)
+        e = sg.slice_products(a8r, b8r)
+        f = sg.slice_products(a8i, b8i)
+        g = sg.slice_products(s_a, s_b)
+        r_re = sg.mod_reduce(e - f, num_moduli)
+        r_im = sg.mod_reduce(g - e - f, num_moduli)
+        return _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli,
+                                 out_kind)
+
+    raise ValueError(compute_type)
+
+
+# ---------------------------------------------------------------------------
+# Front-end canonicalization.
+# ---------------------------------------------------------------------------
+
+def _canon_complex(x):
+    """-> (re, im, kind) with re/im canonical Operands."""
+    if isinstance(x, C64Bits):
+        return x.re, x.im, "c128"
+    if isinstance(x, np.ndarray):
+        if x.dtype == np.complex128:
+            return (f64_to_bits(np.ascontiguousarray(x.real)),
+                    f64_to_bits(np.ascontiguousarray(x.imag)), "c128")
+        if x.dtype == np.complex64:
+            return (jnp.asarray(x.real, jnp.float32),
+                    jnp.asarray(x.imag, jnp.float32), "c64")
+        # real input to a complex gemm: zero imaginary part
+        if x.dtype == np.float64:
+            z = np.zeros_like(x)
+            return f64_to_bits(x), f64_to_bits(z), "c128"
+        return (jnp.asarray(x, jnp.float32),
+                jnp.zeros(x.shape, jnp.float32), "c64")
+    if x.dtype == jnp.complex128:
+        return (f64_to_bits(jnp.real(x)), f64_to_bits(jnp.imag(x)), "c128")
+    if x.dtype == jnp.complex64:
+        return (jnp.real(x).astype(jnp.float32),
+                jnp.imag(x).astype(jnp.float32), "c64")
+    if x.dtype == jnp.float64:
+        return (f64_to_bits(x), f64_to_bits(jnp.zeros_like(x)), "c128")
+    return (x.astype(jnp.float32), jnp.zeros(x.shape, jnp.float32), "c64")
+
+
+@lru_cache(maxsize=None)
+def _jit_complex_core(num_moduli, fastmode, compute_type, out_kind):
+    return jax.jit(lambda ar, ai, br, bi: gemm_complex_core(
+        ar, ai, br, bi, num_moduli, fastmode, compute_type, out_kind))
+
+
+def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
+                 fastmode=True, compute_type=ComputeType.REAL_DEFAULT,
+                 out_dtype=None):
+    a_re, a_im, kind_a = _canon_complex(a)
+    b_re, b_im, kind_b = _canon_complex(b)
+    if out_dtype is not None:
+        s = str(out_dtype)
+        out_kind_c = "c128" if "128" in s else "c64"
+    else:
+        out_kind_c = "c128" if "c128" in (kind_a, kind_b) else "c64"
+    out_kind = "f64" if out_kind_c == "c128" else "f32"
+    ore, oim = _jit_complex_core(num_moduli, fastmode, compute_type,
+                                 out_kind)(a_re, a_im, b_re, b_im)
+    if out_kind == "f32":
+        out = jax.lax.complex(ore, oim)
+        if alpha != 1.0:
+            out = out * jnp.complex64(alpha)
+        if beta != 0.0:
+            if c is None:
+                raise ValueError("beta != 0 requires c")
+            out = out + jnp.complex64(beta) * jnp.asarray(c, jnp.complex64)
+        return out
+    # c128 path
+    if alpha != 1.0 or beta != 0.0:
+        from . import softfloat as sf
+
+        are_, aim_ = complex(alpha).real, complex(alpha).imag
+        nre = sf.sub(sf.mul(ore, sf.const_f64(are_, ore.hi.shape)),
+                     sf.mul(oim, sf.const_f64(aim_, ore.hi.shape)))
+        nim = sf.add(sf.mul(ore, sf.const_f64(aim_, ore.hi.shape)),
+                     sf.mul(oim, sf.const_f64(are_, ore.hi.shape)))
+        ore, oim = nre, nim
+        if beta != 0.0:
+            if c is None:
+                raise ValueError("beta != 0 requires c")
+            c_re, c_im, _ = _canon_complex(np.asarray(c) if not isinstance(
+                c, (C64Bits, jax.Array)) else c)
+            bre_, bim_ = complex(beta).real, complex(beta).imag
+            tre = sf.sub(sf.mul(c_re, sf.const_f64(bre_, ore.hi.shape)),
+                         sf.mul(c_im, sf.const_f64(bim_, ore.hi.shape)))
+            tim = sf.add(sf.mul(c_re, sf.const_f64(bim_, ore.hi.shape)),
+                         sf.mul(c_im, sf.const_f64(bre_, ore.hi.shape)))
+            ore = sf.add(ore, tre)
+            oim = sf.add(oim, tim)
+    res = C64Bits(ore, oim)
+    if jax.default_backend() == "cpu" and not isinstance(a, C64Bits) and \
+            not isinstance(b, C64Bits):
+        return bits_to_f64(ore) + 1j * bits_to_f64(oim)
+    return res

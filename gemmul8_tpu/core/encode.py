@@ -168,13 +168,27 @@ def _scaled_abs_f32(chunks, exp, emax, normal, mant_bits: int):
     return jnp.where(normal & (eb >= 1), val, jnp.float32(0))
 
 
-def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int, mant_bits: int):
-    """Fast-mode ('vecnorm') per-row/col shift selection."""
+def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int):
+    """Fast-mode ('vecnorm') per-row/col shift selection over one or more
+    'parts' sharing the shift (real: one part; complex: Re and Im jointly,
+    since block-encoded rows/cols mix both — cf. reference complex scaling
+    kernels, scaling.hpp:3435-3678). Each part is (chunks, exp, sign,
+    normal)."""
     t_f = tables.threshold_fast(num_moduli)
-    emax = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
-    xs = _scaled_abs_f32(chunks, exp, emax, normal, mant_bits)
-    k = xs.shape[axis]
-    nrm2 = jnp.sum(xs * xs, axis=axis, keepdims=True, dtype=jnp.float32)
+    emax = None
+    for chunks, exp, sign, normal in parts:
+        e = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
+        emax = e if emax is None else jnp.maximum(emax, e)
+    nrm2 = None
+    k = 0
+    anyfinite = None
+    for chunks, exp, sign, normal in parts:
+        xs = _scaled_abs_f32(chunks, exp, emax, normal, mant_bits)
+        k += xs.shape[axis]
+        s = jnp.sum(xs * xs, axis=axis, keepdims=True, dtype=jnp.float32)
+        nrm2 = s if nrm2 is None else nrm2 + s
+        af = jnp.any(normal, axis=axis, keepdims=True)
+        anyfinite = af if anyfinite is None else anyfinite | af
     # round-up guard for f32 summation error, then log2 (>= 0 by scaling)
     nrm2 = jnp.maximum(nrm2 * (1.0 + k * 2.0 ** -23), 1.0)
     lgn = jnp.log2(nrm2)
@@ -185,9 +199,13 @@ def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int, mant_bits: int):
         - (emax - _I32(bias))
     )
     # degenerate all-zero rows: no shift
-    anyfinite = jnp.any(normal, axis=axis, keepdims=True)
     sft = jnp.where(anyfinite, sft, _I32(0))
     return sft, emax
+
+
+def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int, mant_bits: int):
+    return _fast_sft_multi([(chunks, exp, None, normal)], axis, num_moduli,
+                           mant_bits)
 
 
 def _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli: int,
@@ -281,3 +299,57 @@ def encode_accurate_f32(x: jax.Array, sft: jax.Array, num_moduli: int):
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
     chunks, exp, sign, normal = _f32_fields(bits)
     return _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24)
+
+
+# ---------------------------------------------------------------------------
+# Complex: Re and Im of each row/col share one shift (block encodings mix
+# them in one dot product), so stats are joint over both parts.
+# ---------------------------------------------------------------------------
+
+def _complex_parts(re, im):
+    """(parts, mant_bits) for a complex operand given as two same-typed
+    real operands (F64Bits or f32 arrays)."""
+    if isinstance(re, F64Bits):
+        return ([_f64_fields(re.hi, re.lo), _f64_fields(im.hi, im.lo)], 53)
+    br = jax.lax.bitcast_convert_type(re.astype(jnp.float32), _U32)
+    bi = jax.lax.bitcast_convert_type(im.astype(jnp.float32), _U32)
+    return ([_f32_fields(br), _f32_fields(bi)], 24)
+
+
+def encode_fast_complex(re, im, num_moduli: int, axis: int):
+    """Joint fast-mode encode of a complex operand.
+    Returns (re8, im8, sft): (L, *shape) int8 slices for each part and the
+    shared shift."""
+    parts, mant_bits = _complex_parts(re, im)
+    sft, _ = _fast_sft_multi(parts, axis, num_moduli, mant_bits)
+    outs = []
+    for chunks, exp, sign, normal in parts:
+        outs.append(_encode_with_sft(chunks, exp, sign, normal, sft,
+                                     num_moduli, mant_bits))
+    return outs[0], outs[1], sft
+
+
+def mag7_complex(re, im, axis: int):
+    """Round-up 7-bit magnitude bound for a complex operand: uses
+    |re| + |im| >= |z| so the accurate-mode product estimate stays an upper
+    bound. Values <= 128 fit int8."""
+    parts, mant_bits = _complex_parts(re, im)
+    emax = None
+    for chunks, exp, sign, normal in parts:
+        e = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
+        emax = e if emax is None else jnp.maximum(emax, e)
+    mags = [
+        _extract_mag7(chunks, exp, normal, emax, mant_bits).astype(_I32)
+        for chunks, exp, sign, normal in parts
+    ]
+    return (mags[0] + mags[1]).astype(jnp.int8), emax
+
+
+def encode_accurate_complex(re, im, sft, num_moduli: int):
+    parts, mant_bits = _complex_parts(re, im)
+    outs = [
+        _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli,
+                         mant_bits)
+        for chunks, exp, sign, normal in parts
+    ]
+    return outs[0], outs[1]

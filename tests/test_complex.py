@@ -1,0 +1,73 @@
+"""Complex GEMM emulation: all three strategies must agree with a
+high-precision reference, and BIG_MATRIX must be bit-close to CLASSIC."""
+
+import numpy as np
+import pytest
+
+import gemmul8_tpu as g8
+from gemmul8_tpu.bench.evalref import dd_gemm_f64
+from gemmul8_tpu.bench.matrices import phi_matrix, relerr_stats
+
+STRATS = [g8.ComputeType.COMPLEX_BIG_MATRIX_ENCODE,
+          g8.ComputeType.COMPLEX_CLASSIC_MULT,
+          g8.ComputeType.COMPLEX_KARATSUBA_MULT]
+
+
+def _cplx(m, n, phi, seed, dtype=np.complex128):
+    re = phi_matrix(m, n, phi, seed)
+    im = phi_matrix(m, n, phi, seed + 1)
+    return (re + 1j * im).astype(dtype)
+
+
+def _ref(a, b):
+    re = dd_gemm_f64(a.real, b.real) - dd_gemm_f64(a.imag, b.imag)
+    im = dd_gemm_f64(a.real, b.imag) + dd_gemm_f64(a.imag, b.real)
+    return re + 1j * im
+
+
+@pytest.mark.parametrize("strat", STRATS)
+@pytest.mark.parametrize("fastmode", [True, False])
+def test_complex128_strategies(strat, fastmode):
+    a = _cplx(16, 128, 0.5, seed=60)
+    b = _cplx(128, 16, 0.5, seed=70)
+    ref = _ref(a, b)
+    c = np.asarray(g8.gemm(a, b, num_moduli=14, fastmode=fastmode,
+                           compute_type=strat))
+    assert c.dtype == np.complex128
+    err = np.abs(c - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert err.max() < 1e-9, (strat, fastmode, err.max())
+
+
+@pytest.mark.parametrize("strat", STRATS)
+def test_complex64(strat):
+    a = _cplx(16, 128, 0.5, seed=80, dtype=np.complex64)
+    b = _cplx(128, 16, 0.5, seed=90, dtype=np.complex64)
+    ref = _ref(a.astype(np.complex128), b.astype(np.complex128))
+    c = np.asarray(g8.gemm(a, b, num_moduli=8, compute_type=strat))
+    assert c.dtype == np.complex64
+    err = np.abs(c.astype(np.complex128) - ref) / np.abs(ref)
+    assert np.median(err) < 5e-7, (strat, np.median(err))
+
+
+def test_complex_alpha_beta():
+    a = _cplx(8, 64, 0.5, seed=100)
+    b = _cplx(64, 8, 0.5, seed=101)
+    c0 = _cplx(8, 8, 0.5, seed=102)
+    alpha, beta = (1.5 - 0.5j), (0.25 + 2.0j)
+    got = np.asarray(g8.gemm(a, b, alpha=alpha, beta=beta, c=c0,
+                             num_moduli=16,
+                             compute_type=g8.ComputeType.COMPLEX_KARATSUBA_MULT))
+    ref = alpha * _ref(a, b) + beta * c0
+    err = np.abs(got - ref) / np.abs(ref)
+    assert err.max() < 1e-13, err.max()
+
+
+def test_complex_exact_at_20():
+    """20 moduli + tiny k: strategies are exact, so all three agree
+    bit-for-bit."""
+    a = _cplx(6, 12, 1.0, seed=110)
+    b = _cplx(12, 6, 1.0, seed=111)
+    outs = [np.asarray(g8.gemm(a, b, num_moduli=20, compute_type=s))
+            for s in STRATS]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
