@@ -1,0 +1,70 @@
+"""Headline benchmark: emulated DGEMM TFLOP/s at m=n=k=8192, num_moduli=14,
+fast mode, on one TPU chip (BASELINE.json metric).
+
+vs_baseline normalizes against the reference's GH200 OS2-fast-14 row
+(72.13 TFLOPS, BASELINE.md §1) scaled by the int8 peak ratio of the two
+chips (GH200 int8 probe 1575 TOPS vs TPU v5e 394.5 TOPS): an equal-quality
+implementation on this chip would score 72.13 * 394.5/1575 = 18.07 TFLOPS.
+Prints one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gemmul8_tpu.core import gemm as gg
+    from gemmul8_tpu.types import F64Bits
+
+    n = 8192
+    num_moduli = 14
+    rng = np.random.default_rng(0)
+    a = (rng.random((n, n)) - 0.5) * np.exp(rng.standard_normal((n, n)) * 0.5)
+
+    def bits(x):
+        u = np.ascontiguousarray(x).view(np.uint32).reshape(x.shape + (2,))
+        return F64Bits(jnp.asarray(u[..., 1]), jnp.asarray(u[..., 0]))
+
+    A = bits(a)
+    B = bits(a.T.copy())
+
+    def run(x, y):
+        o = gg.gemm_core(x, y, num_moduli, True, "f64")
+        return o, jnp.sum(o.hi ^ o.lo)  # checksum forces full execution
+
+    f = jax.jit(run)
+    out, s = f(A, B)
+    int(s)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, s = f(A, B)
+        int(s)
+    dt = (time.perf_counter() - t0) / iters
+    tflops = 2 * n ** 3 / dt / 1e12
+
+    # accuracy spot check on a sampled tile vs f64 reference
+    hi = np.asarray(out.hi[:256, :256])
+    lo = np.asarray(out.lo[:256, :256])
+    got = np.stack([lo, hi], -1).astype(np.uint32).copy().view(
+        np.float64).reshape(256, 256)
+    ref = a[:256] @ a.T[:, :256]
+    relerr = float(np.abs((got - ref) / ref).max())
+
+    baseline_equiv = 72.13 * 394.5 / 1575.0
+    print(json.dumps({
+        "metric": "emulated DGEMM TFLOP/s (8192^3, 14 moduli, fast, "
+                  f"1 chip; max relerr vs f64 ref {relerr:.2e})",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / baseline_equiv, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

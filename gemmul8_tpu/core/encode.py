@@ -168,17 +168,24 @@ def _scaled_abs_f32(chunks, exp, emax, normal, mant_bits: int):
     return jnp.where(normal & (eb >= 1), val, jnp.float32(0))
 
 
-def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int):
+def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int,
+                    axis_name=None):
     """Fast-mode ('vecnorm') per-row/col shift selection over one or more
     'parts' sharing the shift (real: one part; complex: Re and Im jointly,
     since block-encoded rows/cols mix both — cf. reference complex scaling
     kernels, scaling.hpp:3435-3678). Each part is (chunks, exp, sign,
-    normal)."""
+    normal).
+
+    axis_name: mesh axis the contraction dim is sharded over (inside
+    shard_map) — stats then psum/pmax across shards so every shard picks
+    the same globally-valid shift."""
     t_f = tables.threshold_fast(num_moduli)
     emax = None
     for chunks, exp, sign, normal in parts:
         e = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
         emax = e if emax is None else jnp.maximum(emax, e)
+    if axis_name is not None:
+        emax = jax.lax.pmax(emax, axis_name)
     nrm2 = None
     k = 0
     anyfinite = None
@@ -189,6 +196,10 @@ def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int):
         nrm2 = s if nrm2 is None else nrm2 + s
         af = jnp.any(normal, axis=axis, keepdims=True)
         anyfinite = af if anyfinite is None else anyfinite | af
+    if axis_name is not None:
+        nrm2 = jax.lax.psum(nrm2, axis_name)
+        anyfinite = jax.lax.psum(anyfinite.astype(_I32), axis_name) > 0
+        k = k * jax.lax.axis_size(axis_name)
     # round-up guard for f32 summation error, then log2 (>= 0 by scaling)
     nrm2 = jnp.maximum(nrm2 * (1.0 + k * 2.0 ** -23), 1.0)
     lgn = jnp.log2(nrm2)
@@ -203,9 +214,10 @@ def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int):
     return sft, emax
 
 
-def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int, mant_bits: int):
+def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int,
+              mant_bits: int, axis_name=None):
     return _fast_sft_multi([(chunks, exp, None, normal)], axis, num_moduli,
-                           mant_bits)
+                           mant_bits, axis_name)
 
 
 def _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli: int,
@@ -224,20 +236,22 @@ def _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli: int,
 # for A (m, k) pass axis=1 (row stats); for B (k, n) pass axis=0 (col stats).
 # ---------------------------------------------------------------------------
 
-def encode_fast_f64(bits: F64Bits, num_moduli: int, axis: int):
+def encode_fast_f64(bits: F64Bits, num_moduli: int, axis: int,
+                    axis_name=None):
     """Fast-mode encode of an f64 operand. Returns (slices (L, *shape) int8,
     sft int32 with keepdims shape)."""
     chunks, exp, sign, normal = _f64_fields(bits.hi, bits.lo)
-    sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 53)
+    sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 53, axis_name)
     slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 53)
     return slices, sft
 
 
-def encode_fast_f32(x: jax.Array, num_moduli: int, axis: int):
+def encode_fast_f32(x: jax.Array, num_moduli: int, axis: int,
+                    axis_name=None):
     """Fast-mode encode of an f32 operand (native f32 array)."""
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
     chunks, exp, sign, normal = _f32_fields(bits)
-    sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 24)
+    sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 24, axis_name)
     slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24)
     return slices, sft
 

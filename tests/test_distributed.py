@@ -1,0 +1,50 @@
+"""Mesh-sharded emulated GEMM on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import gemmul8_tpu as g8
+from gemmul8_tpu.bench.matrices import phi_matrix, relerr_stats
+from gemmul8_tpu.parallel import distributed as dist
+from gemmul8_tpu.types import F64Bits, bits_to_f64, f64_to_bits
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return dist.make_mesh(8, shape=(2, 4))
+
+
+def test_sharded_f64_matches_single(mesh):
+    m, k, n = 32, 256, 64
+    a = phi_matrix(m, k, 0.5, seed=200)
+    b = phi_matrix(k, n, 0.5, seed=201)
+    out = dist.gemm_sharded(f64_to_bits(a), f64_to_bits(b), mesh,
+                            num_moduli=14)
+    got = bits_to_f64(out, to_numpy=True)
+    single = np.asarray(g8.gemm(a, b, num_moduli=14))
+    ref = a @ b
+    # sharded and single-chip may pick shifts differing by 1 ulp of the
+    # norm statistic; both must sit at the same accuracy level
+    assert relerr_stats(got, ref)[0] < 1e-10
+    assert relerr_stats(single, ref)[0] < 1e-10
+    assert out.hi.sharding.spec == jax.sharding.PartitionSpec("x", "y")
+
+
+def test_sharded_f32(mesh):
+    m, k, n = 16, 128, 32
+    a = phi_matrix(m, k, 0.5, seed=210).astype(np.float32)
+    b = phi_matrix(k, n, 0.5, seed=211).astype(np.float32)
+    out = np.asarray(dist.gemm_sharded(a, b, mesh, num_moduli=8))
+    ref = a.astype(np.float64) @ b.astype(np.float64)
+    assert relerr_stats(out, ref)[1] < 2e-7
+
+
+def test_sharded_shape_validation(mesh):
+    a = np.zeros((30, 256), np.float32)   # 30 not divisible by x=2? it is;
+    b = np.zeros((256, 30), np.float32)   # 30 % 4 != 0 -> error
+    with pytest.raises(ValueError, match="divide mesh"):
+        dist.gemm_sharded(a, b, mesh, num_moduli=4)
