@@ -98,6 +98,8 @@ def gemm(
     fastmode: bool = True,
     compute_type: ComputeType = ComputeType.REAL_DEFAULT,
     out_dtype=None,
+    moduli_chunk: Optional[int] = None,
+    max_workspace_bytes: Optional[int] = None,
 ):
     """Emulated high-precision GEMM via Ozaki Scheme II on int8 MXU matmuls.
 
@@ -118,8 +120,13 @@ def gemm(
     want_native_f64 = not isinstance(a, F64Bits) and not isinstance(b, F64Bits)
     ca, cb_ = _canon_real(a), _canon_real(b)
     kind = _out_kind(ca, cb_, out_dtype)
-    _g._check_shapes(ca, cb_)
-    c_raw = _jit_core(num_moduli, fastmode, kind)(ca, cb_)
+    m, k, n = _g._check_shapes(ca, cb_)
+    if moduli_chunk is None and max_workspace_bytes is not None:
+        from .planner import plan_schedule
+
+        moduli_chunk = plan_schedule(m, n, k, num_moduli,
+                                     max_workspace_bytes).chunk
+    c_raw = _jit_core(num_moduli, fastmode, kind, moduli_chunk)(ca, cb_)
     return _finalize(c_raw, kind, alpha, beta, c, want_native_f64)
 
 
@@ -127,8 +134,10 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _jit_core(num_moduli: int, fastmode: bool, kind: str):
-    return jax.jit(lambda a, b: _g.gemm_core(a, b, num_moduli, fastmode, kind))
+def _jit_core(num_moduli: int, fastmode: bool, kind: str,
+              moduli_chunk=None):
+    return jax.jit(lambda a, b: _g.gemm_core(a, b, num_moduli, fastmode,
+                                             kind, moduli_chunk))
 
 
 def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,

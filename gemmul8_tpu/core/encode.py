@@ -111,9 +111,11 @@ def _dropped_bits_nonzero(chunks: Sequence[jax.Array], u: jax.Array):
     return sticky
 
 
-def _residues_from_chunks(chunks, q, sign, normal, num_moduli: int,
+def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
                           q_max_static: int):
-    """Centered residues of sign * (chunked mant) * 2^q for each modulus.
+    """Centered residues of sign * (chunked mant) * 2^q for each modulus in
+    moduli_idx (a tuple of indices into tables.MODULI — a subrange when the
+    low-memory moduli-chunked schedule is active).
 
     q may be negative (right shift / truncation) or positive up to
     q_max_static (pure magnitude scaling, handled modularly)."""
@@ -123,7 +125,7 @@ def _residues_from_chunks(chunks, q, sign, normal, num_moduli: int,
     neg = (sign == 1)
 
     out = []
-    for j in range(num_moduli):
+    for j in moduli_idx:
         m = int(tables.MODULI[j])
         acc = jnp.zeros_like(d[0])
         for i, di in enumerate(d):
@@ -221,13 +223,14 @@ def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int,
 
 
 def _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli: int,
-                     mant_bits: int):
+                     mant_bits: int, moduli_idx=None):
     mant_shift = 1075 if mant_bits == 53 else 150
     q = exp - _I32(mant_shift) + sft
-    t_f = tables.threshold_fast(num_moduli)
     t_a = tables.threshold_accurate(num_moduli)
     q_max_static = max(t_a - 1 - (mant_bits - 1), 0)
-    return _residues_from_chunks(chunks, q, sign, normal, num_moduli,
+    if moduli_idx is None:
+        moduli_idx = tuple(range(num_moduli))
+    return _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
                                  q_max_static)
 
 
@@ -237,22 +240,24 @@ def _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli: int,
 # ---------------------------------------------------------------------------
 
 def encode_fast_f64(bits: F64Bits, num_moduli: int, axis: int,
-                    axis_name=None):
+                    axis_name=None, moduli_idx=None):
     """Fast-mode encode of an f64 operand. Returns (slices (L, *shape) int8,
     sft int32 with keepdims shape)."""
     chunks, exp, sign, normal = _f64_fields(bits.hi, bits.lo)
     sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 53, axis_name)
-    slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 53)
+    slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 53,
+                              moduli_idx)
     return slices, sft
 
 
 def encode_fast_f32(x: jax.Array, num_moduli: int, axis: int,
-                    axis_name=None):
+                    axis_name=None, moduli_idx=None):
     """Fast-mode encode of an f32 operand (native f32 array)."""
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
     chunks, exp, sign, normal = _f32_fields(bits)
     sft, _ = _fast_sft(chunks, exp, normal, axis, num_moduli, 24, axis_name)
-    slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24)
+    slices = _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24,
+                              moduli_idx)
     return slices, sft
 
 
@@ -304,15 +309,19 @@ def accurate_sft(smax: jax.Array, emax: jax.Array, num_moduli: int,
     return sft
 
 
-def encode_accurate_f64(bits: F64Bits, sft: jax.Array, num_moduli: int):
+def encode_accurate_f64(bits: F64Bits, sft: jax.Array, num_moduli: int,
+                        moduli_idx=None):
     chunks, exp, sign, normal = _f64_fields(bits.hi, bits.lo)
-    return _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 53)
+    return _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 53,
+                            moduli_idx)
 
 
-def encode_accurate_f32(x: jax.Array, sft: jax.Array, num_moduli: int):
+def encode_accurate_f32(x: jax.Array, sft: jax.Array, num_moduli: int,
+                        moduli_idx=None):
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
     chunks, exp, sign, normal = _f32_fields(bits)
-    return _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24)
+    return _encode_with_sft(chunks, exp, sign, normal, sft, num_moduli, 24,
+                            moduli_idx)
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,7 @@ def encode_operand_fast(x: Operand, num_moduli: int, axis: int):
     return enc.encode_fast_f32(x, num_moduli, axis)
 
 
-def encode_operand_accurate(a: Operand, b: Operand, num_moduli: int):
+def accurate_sfts(a: Operand, b: Operand, num_moduli: int):
     """Accurate-mode ('int8tc') joint shift selection: 7-bit round-up
     magnitudes, one extra int8 GEMM |A|x|B|, then per-row/col shifts from the
     product-magnitude estimate (reference scaling.hpp:3053-3136)."""
@@ -73,29 +73,87 @@ def encode_operand_accurate(a: Operand, b: Operand, num_moduli: int):
                              53 if _is_f64(a) else 24)
     sft_b = enc.accurate_sft(smax_b, emax_b, num_moduli,
                              53 if _is_f64(b) else 24)
-    if _is_f64(a):
-        a8 = enc.encode_accurate_f64(a, sft_a, num_moduli)
-    else:
-        a8 = enc.encode_accurate_f32(a, sft_a, num_moduli)
-    if _is_f64(b):
-        b8 = enc.encode_accurate_f64(b, sft_b, num_moduli)
-    else:
-        b8 = enc.encode_accurate_f32(b, sft_b, num_moduli)
+    return sft_a, sft_b
+
+
+def encode_operand_accurate(a: Operand, b: Operand, num_moduli: int):
+    sft_a, sft_b = accurate_sfts(a, b, num_moduli)
+    a8 = _encode_idx(a, sft_a, num_moduli, None)
+    b8 = _encode_idx(b, sft_b, num_moduli, None)
     return a8, sft_a, b8, sft_b
 
 
 def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
-              out_dtype: str):
-    """C = A @ B emulated. a: (m,k); b: (k,n). Returns F64Bits or f32."""
+              out_dtype: str, moduli_chunk: int | None = None,
+              use_pallas: bool | None = None):
+    """C = A @ B emulated. a: (m,k); b: (k,n). Returns F64Bits or f32.
+
+    moduli_chunk: low-memory mode — materialize only `moduli_chunk` residue
+    slices at a time (re-running the cheap encode pass per chunk) and fold
+    each chunk's products into the CRT limb accumulator before the next is
+    built. Capability parity with the reference's `memory-lt` branch
+    (README.md:3); peak slice memory scales with the chunk, not with
+    num_moduli."""
     _check_shapes(a, b)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if moduli_chunk is None or moduli_chunk >= num_moduli:
+        if fastmode:
+            sft_a = _fast_sft_only(a, num_moduli, axis=1)
+            sft_b = _fast_sft_only(b, num_moduli, axis=0)
+        else:
+            sft_a, sft_b = accurate_sfts(a, b, num_moduli)
+        if use_pallas:
+            from ..pallas import kernels as pk
+
+            a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
+            b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
+            c32 = sg.slice_products(a8, b8)
+            return pk.reconstruct_pallas(c32, sft_a, sft_b, num_moduli,
+                                         out_dtype)
+        a8 = _encode_idx(a, sft_a, num_moduli, None)
+        b8 = _encode_idx(b, sft_b, num_moduli, None)
+        c32 = sg.slice_products(a8, b8)
+        r = sg.mod_reduce(c32, num_moduli)
+        return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype)
+
+    # ---- moduli-chunked schedule ----
+    from ..planner import ModuliSchedule
+
+    sched = ModuliSchedule(num_moduli, moduli_chunk)
+    # shifts are chunk-independent: compute once
     if fastmode:
-        a8, sft_a = encode_operand_fast(a, num_moduli, axis=1)
-        b8, sft_b = encode_operand_fast(b, num_moduli, axis=0)
+        sft_a = _fast_sft_only(a, num_moduli, axis=1)
+        sft_b = _fast_sft_only(b, num_moduli, axis=0)
     else:
-        a8, sft_a, b8, sft_b = encode_operand_accurate(a, b, num_moduli)
-    c32 = sg.slice_products(a8, b8)
-    r = sg.mod_reduce(c32, num_moduli)
-    return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype)
+        sft_a, sft_b = accurate_sfts(a, b, num_moduli)
+    acc = None
+    for j0, width in sched.chunks():
+        idx = tuple(range(j0, j0 + width))
+        a8 = _encode_idx(a, sft_a, num_moduli, idx)
+        b8 = _encode_idx(b, sft_b, num_moduli, idx)
+        c32 = sg.slice_products(a8, b8)
+        r = sg.mod_reduce(c32, num_moduli, idx)
+        acc = rec.accumulate_weighted(r, num_moduli, idx, acc)
+    return rec.finalize(acc, sft_a, sft_b, num_moduli, out_dtype)
+
+
+def _fast_sft_only(x: Operand, num_moduli: int, axis: int):
+    if _is_f64(x):
+        chunks, exp, sign, normal = enc._f64_fields(x.hi, x.lo)
+        sft, _ = enc._fast_sft(chunks, exp, normal, axis, num_moduli, 53)
+    else:
+        bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32),
+                                            jnp.uint32)
+        chunks, exp, sign, normal = enc._f32_fields(bits)
+        sft, _ = enc._fast_sft(chunks, exp, normal, axis, num_moduli, 24)
+    return sft
+
+
+def _encode_idx(x: Operand, sft, num_moduli: int, idx):
+    if _is_f64(x):
+        return enc.encode_accurate_f64(x, sft, num_moduli, idx)
+    return enc.encode_accurate_f32(x, sft, num_moduli, idx)
 
 
 def gemm_phases(a: Operand, b: Operand, num_moduli: int, fastmode: bool,

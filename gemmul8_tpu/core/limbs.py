@@ -68,19 +68,15 @@ def scale_const_sub(a: Sequence[jax.Array], t: jax.Array,
 
 
 def geq_const(a: Sequence[jax.Array], const_limbs: Sequence[int]) -> jax.Array:
-    """a >= C (canonical limbs vs compile-time constant)."""
-    ge = jnp.ones_like(a[0], dtype=jnp.bool_)
-    # scan from most significant
-    result = jnp.zeros_like(a[0], dtype=jnp.bool_)
-    decided = jnp.zeros_like(a[0], dtype=jnp.bool_)
-    for xa, cl in zip(reversed(a), reversed([int(c) for c in const_limbs])):
-        gt = xa > _I32(cl)
-        lt = xa < _I32(cl)
-        result = jnp.where(~decided & gt, True, result)
-        result = jnp.where(~decided & lt, False, result)
-        decided = decided | gt | lt
-    # all equal -> >= holds
-    return jnp.where(decided, result, True)
+    """a >= C (canonical limbs vs compile-time constant).
+
+    LSB-up scan keeping an int32 0/1 state (the most significant differing
+    limb wins) — avoids bool-literal selects, which Mosaic cannot lower."""
+    ge = jnp.ones_like(a[0])
+    for xa, cl in zip(a, [int(c) for c in const_limbs]):
+        ge = jnp.where(xa > _I32(cl), _I32(1),
+                       jnp.where(xa < _I32(cl), _I32(0), ge))
+    return ge == 1
 
 
 def sub_const_if(a: Sequence[jax.Array], cond: jax.Array,

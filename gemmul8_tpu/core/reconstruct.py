@@ -30,22 +30,34 @@ _I32 = jnp.int32
 _U32 = jnp.uint32
 
 
-def _accumulate_weighted(r: jax.Array, num_moduli: int):
-    """X = sum_j crt_weight[j] * r[j] in 16-bit limbs.
+def accumulate_weighted(r: jax.Array, num_moduli: int, moduli_idx=None,
+                        acc=None):
+    """acc += sum_j crt_weight[j] * r[j] in 16-bit limbs (canonicalized).
 
-    r: (L, ...) int32 canonical residues in [0, m_j).
-    Returns canonical limb list (length tables.num_limbs(L))."""
+    r: (len(moduli_idx), ...) int32 canonical residues in [0, m_j).
+    Additive over moduli chunks, which is what makes the low-memory
+    moduli-chunked schedule possible: residue slices for a chunk are
+    encoded, multiplied, folded in here, and then freed before the next
+    chunk is materialized.  Returns canonical limb list (length
+    tables.num_limbs(num_moduli))."""
     nl = tables.num_limbs(num_moduli)
     w = tables.crt_weight_limbs(num_moduli)  # (L, nl) ints < 2^16
-    acc = [jnp.zeros(r.shape[1:], _I32) for _ in range(nl)]
-    for j in range(num_moduli):
-        rj = r[j]
+    if moduli_idx is None:
+        moduli_idx = tuple(range(num_moduli))
+    out = [jnp.zeros(r.shape[1:], _I32) for _ in range(nl)] \
+        if acc is None else list(acc)
+    for jj, j in enumerate(moduli_idx):
+        rj = r[jj]
         for l in range(nl):
             wl = int(w[j, l])
             if wl:
-                acc[l] = acc[l] + rj * _I32(wl)
-    # acc[l] < 20 * 255 * 65535 < 2^29: safe; one carry pass canonicalizes.
-    return lb.carry_propagate(acc)
+                out[l] = out[l] + rj * _I32(wl)
+    # partial sums < 20 * 255 * 65535 < 2^29 (+ canonical acc < 2^16): safe;
+    # one carry pass canonicalizes.
+    return lb.carry_propagate(out)
+
+
+_accumulate_weighted = accumulate_weighted
 
 
 def _mod_m_centered(x, num_moduli: int):
@@ -86,16 +98,13 @@ def _const_limbs(v: int, n: int):
 
 
 def _gt_const(a, const_limbs):
-    """a > C for canonical limbs vs python-int constant limbs."""
-    result = jnp.zeros_like(a[0], dtype=jnp.bool_)
-    decided = jnp.zeros_like(a[0], dtype=jnp.bool_)
-    for xa, cl in zip(reversed(a), reversed([int(c) for c in const_limbs])):
-        gt = xa > _I32(cl)
-        lt = xa < _I32(cl)
-        result = jnp.where(~decided & gt, True, result)
-        result = jnp.where(~decided & lt, False, result)
-        decided = decided | gt | lt
-    return jnp.where(decided, result, False)
+    """a > C for canonical limbs vs python-int constant limbs (LSB-up scan
+    with int32 state; Mosaic-friendly — no bool-literal selects)."""
+    gt = jnp.zeros_like(a[0])
+    for xa, cl in zip(a, [int(c) for c in const_limbs]):
+        gt = jnp.where(xa > _I32(cl), _I32(1),
+                       jnp.where(xa < _I32(cl), _I32(0), gt))
+    return gt == 1
 
 
 def _round_to_float(mag, neg, e_fix, mant_bits: int):
@@ -122,7 +131,7 @@ def _round_to_float(mag, neg, e_fix, mant_bits: int):
     rb_pos = jnp.maximum(u - 1, 0)
     rbit_limbs = lb.shift_right(mag, rb_pos, 1)
     rbit = jnp.where(u > 0, rbit_limbs[0] & _I32(1), _I32(0))
-    sticky = jnp.where(u > 1, lb.dropped_nonzero(mag, rb_pos), False)
+    sticky = (u > 1) & lb.dropped_nonzero(mag, rb_pos)
     # left shift when sr < 0 (value has fewer bits than the mantissa)
     v = jnp.clip(-sr, 0, 16 * n_mant_chunks)
     left = lb.shift_left(mag[: n_mant_chunks + 1], v, n_mant_chunks + 1)
@@ -185,7 +194,14 @@ def reconstruct(r: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
     sft_a: (m, 1) int32; sft_b: (1, n) int32 (encode shifts).
     out_dtype: 'f64' -> F64Bits, 'f32' -> jnp.float32 array.
     """
-    x = _accumulate_weighted(r, num_moduli)
+    x = accumulate_weighted(r, num_moduli)
+    return finalize(x, sft_a, sft_b, num_moduli, out_dtype)
+
+
+def finalize(x, sft_a: jax.Array, sft_b: jax.Array, num_moduli: int,
+             out_dtype: str):
+    """Mod-M centering + inverse scaling + rounding, from accumulated
+    weighted limbs (see accumulate_weighted)."""
     mag, negf = _mod_m_centered(x, num_moduli)
     e_fix = -(sft_a + sft_b)
     if out_dtype == "f64":

@@ -32,18 +32,20 @@ def slice_products(a8: jax.Array, b8: jax.Array) -> jax.Array:
     )
 
 
-def mod_reduce(c32: jax.Array, num_moduli: int) -> jax.Array:
+def mod_reduce(c32: jax.Array, num_moduli: int, moduli_idx=None) -> jax.Array:
     """Canonical residues of the slice products: (L, m, n) int32 in [0, m_j).
 
     jnp floor-mod with positive divisor yields [0, m) for any sign. The
     modulus-256 slice is a pure bitmask."""
+    if moduli_idx is None:
+        moduli_idx = tuple(range(num_moduli))
     outs = []
-    for j in range(num_moduli):
+    for jj, j in enumerate(moduli_idx):
         m = int(tables.MODULI[j])
         if m == 256:
-            outs.append(c32[j] & _I32(255))
+            outs.append(c32[jj] & _I32(255))
         else:
-            outs.append(c32[j] % _I32(m))
+            outs.append(c32[jj] % _I32(m))
     return jnp.stack(outs, axis=0)
 
 

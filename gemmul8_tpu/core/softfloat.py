@@ -157,13 +157,7 @@ def sub(a: F64Bits, b: F64Bits) -> F64Bits:
 
 
 def _mant_geq(a, b):
-    ge = jnp.ones_like(a[0], dtype=jnp.bool_)
-    decided = jnp.zeros_like(a[0], dtype=jnp.bool_)
-    result = jnp.zeros_like(a[0], dtype=jnp.bool_)
-    for xa, xb in zip(reversed(a), reversed(b)):
-        gt = xa > xb
-        lt = xa < xb
-        result = jnp.where(~decided & gt, True, result)
-        result = jnp.where(~decided & lt, False, result)
-        decided = decided | gt | lt
-    return jnp.where(decided, result, True)
+    ge = jnp.ones_like(a[0])
+    for xa, xb in zip(a, b):
+        ge = jnp.where(xa > xb, _I32(1), jnp.where(xa < xb, _I32(0), ge))
+    return ge == 1

@@ -1,0 +1,123 @@
+"""Matmul interception: route jnp matmuls through the emulator.
+
+TPU-native analog of the reference hijack libraries' LD_PRELOAD shims
+(ozIMMU_EF/src/cublas.cu:283-300 re-exporting cublasDgemm_v2/Zgemm_v2;
+cuMpSGEMM's rule-callback dispatch, src/default_cumpsgemm_rule.cu:6-50):
+inside `override_matmuls()` every eligible `jnp.matmul` / `jnp.dot` /
+`A @ B` on f64/f32/complex 2D operands is transparently computed by the
+Ozaki-II engine. A user-supplied `rule` callback plays the role of
+cuMpSGEMM's libcumpsgemm_rule.so: it sees (m, n, k, dtype) and picks the
+mode per call. Calls below the intercept thresholds (env
+GEMMUL8_INTERCEPT_THRESHOLD_*) pass through to native XLA, like the
+reference's size-gated passthrough (ozIMMU gemm.cu:241-264).
+
+Per-call profiling (CULiP analog, ozIMMU_EF/src/culip.cu): with
+GEMMUL8_PROFILE=1 or profile=True, every intercepted call is recorded
+(shape, dtype, mode, wall time) — read with get_profile_log().
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as cfg
+from .api import gemm
+
+_PROFILE_LOG: list = []
+
+
+@dataclass
+class CallRecord:
+    m: int
+    n: int
+    k: int
+    dtype: str
+    mode: str
+    seconds: float
+
+
+def get_profile_log():
+    return list(_PROFILE_LOG)
+
+
+def clear_profile_log():
+    _PROFILE_LOG.clear()
+
+
+def default_rule(m: int, n: int, k: int, dtype) -> str:
+    """Default dispatch rule (cf. cuMpSGEMM default rule: small sizes ->
+    native, default_cumpsgemm_rule.cu:13-15): 'emulate' above the
+    thresholds, 'native' below."""
+    c = cfg.get_config()
+    if c.compute_mode == "off":
+        return "native"
+    if (m < c.intercept_threshold_m or n < c.intercept_threshold_n
+            or k < c.intercept_threshold_k):
+        return "native"
+    return c.compute_mode
+
+
+_ELIGIBLE = (jnp.float32, jnp.float64, jnp.complex64, jnp.complex128)
+
+
+@contextlib.contextmanager
+def override_matmuls(num_moduli: Optional[int] = None,
+                     fastmode: Optional[bool] = None,
+                     rule: Optional[Callable] = None,
+                     profile: Optional[bool] = None):
+    """Context that reroutes jnp.matmul / jnp.dot / the @ operator on
+    eligible 2D f32/f64/complex operands through the emulator."""
+    c = cfg.get_config()
+    nm = num_moduli if num_moduli is not None else c.num_moduli
+    fm = fastmode if fastmode is not None else c.fastmode
+    prof = profile if profile is not None else c.profile
+    rule = rule or default_rule
+
+    orig_matmul = jnp.matmul
+    orig_dot = jnp.dot
+
+    def _eligible(a, b):
+        if not (hasattr(a, "dtype") and hasattr(b, "dtype")):
+            return False
+        if not (getattr(a, "ndim", 0) == 2 and getattr(b, "ndim", 0) == 2):
+            return False
+        return (a.dtype in _ELIGIBLE or b.dtype in _ELIGIBLE)
+
+    def _route(a, b, orig, **kwargs):
+        if kwargs or not _eligible(a, b):
+            return orig(a, b, **kwargs)
+        m, k = a.shape
+        _, n = b.shape
+        if k > 1 << 17:
+            return orig(a, b)
+        mode = rule(m, n, k, a.dtype)
+        if mode == "native":
+            return orig(a, b)
+        t0 = time.perf_counter()
+        out = gemm(a, b, num_moduli=nm, fastmode=fm)
+        if prof:
+            _PROFILE_LOG.append(CallRecord(
+                m, n, k, str(a.dtype), f"emulate-{nm}",
+                time.perf_counter() - t0))
+        cfg.log_info(f"intercepted matmul {m}x{k}x{n} {a.dtype} -> {mode}")
+        return out
+
+    def patched_matmul(a, b, **kw):
+        return _route(a, b, orig_matmul, **kw)
+
+    def patched_dot(a, b, **kw):
+        return _route(a, b, orig_dot, **kw)
+
+    jnp.matmul = patched_matmul
+    jnp.dot = patched_dot
+    try:
+        yield
+    finally:
+        jnp.matmul = orig_matmul
+        jnp.dot = orig_dot

@@ -1,0 +1,38 @@
+"""OS-I baseline accuracy + harness CSV emission."""
+
+import numpy as np
+import pytest
+
+from gemmul8_tpu.baselines.ozimmu import ozimmu_gemm_np
+from gemmul8_tpu.bench.evalref import dd_gemm_f64
+from gemmul8_tpu.bench.harness import accuracy_check
+from gemmul8_tpu.bench.matrices import phi_matrix, relerr_stats
+
+
+def test_ozimmu_baseline_accuracy_curve():
+    a = phi_matrix(24, 256, 0.5, seed=500)
+    b = phi_matrix(256, 24, 0.5, seed=501)
+    ref = dd_gemm_f64(a, b)
+    errs = {}
+    for s in [6, 8, 10, 12]:
+        got = ozimmu_gemm_np(a, b, num_split=s)
+        errs[s] = relerr_stats(got, ref)[0]
+    # monotone improvement, f64-grade by ~10-12 splits (7 bits per slice)
+    assert errs[8] < errs[6]
+    assert errs[10] < errs[8]
+    assert errs[8] < 1e-5, errs
+    assert errs[12] < 1e-11, errs
+
+
+def test_accuracy_check_csv(tmp_path):
+    rows, path = accuracy_check(dtype="f", sizes=(128,), phis=(0.5,),
+                                moduli=(6, 8), fastmodes=(True,), m=32,
+                                outdir=str(tmp_path))
+    assert path and path.endswith(".csv")
+    funcs = [r["func"] for r in rows]
+    assert "SGEMM" in funcs and "OS2-fast-6" in funcs and "OS2-fast-8" in funcs
+    e6 = [r for r in rows if r["func"] == "OS2-fast-6"][0]["max_relerr"]
+    e8 = [r for r in rows if r["func"] == "OS2-fast-8"][0]["max_relerr"]
+    assert e8 < e6
+    with open(path) as f:
+        assert f.readline().startswith("phi,")

@@ -1,0 +1,71 @@
+"""Low-memory moduli-chunked schedule + matmul interception."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import gemmul8_tpu as g8
+from gemmul8_tpu import interception as icept
+from gemmul8_tpu.bench.matrices import phi_matrix
+from gemmul8_tpu.planner import ModuliSchedule, plan_schedule, workspace_bytes
+
+
+@pytest.mark.parametrize("fastmode", [True, False])
+@pytest.mark.parametrize("chunk", [1, 3, 5])
+def test_moduli_chunked_matches_full(fastmode, chunk):
+    """Chunked execution must give bit-identical results to the one-shot
+    path (same shifts, same exact integer arithmetic)."""
+    a = phi_matrix(16, 128, 0.5, seed=300)
+    b = phi_matrix(128, 16, 0.5, seed=301)
+    full = np.asarray(g8.gemm(a, b, num_moduli=10, fastmode=fastmode))
+    chunked = np.asarray(g8.gemm(a, b, num_moduli=10, fastmode=fastmode,
+                                 moduli_chunk=chunk))
+    np.testing.assert_array_equal(full, chunked)
+
+
+def test_budget_driven_schedule():
+    sched = plan_schedule(4096, 4096, 4096, 14,
+                          budget_bytes=workspace_bytes(4096, 4096, 4096, 14) // 3)
+    assert 1 <= sched.chunk < 14
+    assert sum(w for _, w in sched.chunks()) == 14
+    full = ModuliSchedule(14, 14)
+    assert full.num_chunks == 1
+
+
+def test_budget_param_through_api():
+    a = phi_matrix(8, 64, 0.5, seed=310).astype(np.float32)
+    b = phi_matrix(64, 8, 0.5, seed=311).astype(np.float32)
+    out = np.asarray(g8.gemm(a, b, num_moduli=8,
+                             max_workspace_bytes=200_000))
+    ref = np.asarray(g8.gemm(a, b, num_moduli=8))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_interception_routes_and_profiles():
+    a = jnp.asarray(phi_matrix(128, 128, 0.5, seed=320))
+    b = jnp.asarray(phi_matrix(128, 128, 0.5, seed=321))
+    native = np.asarray(a @ b)
+    icept.clear_profile_log()
+    with icept.override_matmuls(num_moduli=16, profile=True):
+        out = np.asarray(jnp.matmul(a, b))
+        small = np.asarray(jnp.matmul(a[:2, :2], b[:2, :2]))  # below threshold
+    log = icept.get_profile_log()
+    assert len(log) == 1 and log[0].mode == "emulate-16"
+    assert np.abs((out - native) / native).max() < 1e-9
+    # after exit, jnp.matmul restored
+    assert np.array_equal(np.asarray(jnp.matmul(a, b)), native)
+
+
+def test_interception_rule_callback():
+    a = jnp.asarray(phi_matrix(128, 64, 0.5, seed=330))
+    b = jnp.asarray(phi_matrix(64, 128, 0.5, seed=331))
+    calls = []
+
+    def rule(m, n, k, dtype):
+        calls.append((m, n, k))
+        return "native"
+
+    with icept.override_matmuls(rule=rule):
+        _ = jnp.matmul(a, b)
+    assert calls == [(128, 128, 64)]
