@@ -6,12 +6,12 @@ ptrkgtsch/mixed-GEMMul8: FP64 / FP32 / mixed / complex GEMM emulated as
 """
 
 from . import tables
-from .api import gemm, gemm_timed, workspace_bytes
+from .api import gemm, gemm_batched, gemm_timed, workspace_bytes
 from .types import C64Bits, ComputeType, F64Bits, bits_to_f64, f64_to_bits
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "gemm", "gemm_timed", "workspace_bytes", "tables",
+    "gemm", "gemm_batched", "gemm_timed", "workspace_bytes", "tables",
     "ComputeType", "F64Bits", "C64Bits", "f64_to_bits", "bits_to_f64",
 ]

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +57,25 @@ def _out_kind(a, b, out_dtype) -> str:
         raise ValueError(f"unsupported out_dtype {out_dtype}")
     # default: widest input type (reference default: TC follows the wider)
     return "f64" if (isinstance(a, F64Bits) or isinstance(b, F64Bits)) else "f32"
+
+
+def _apply_op(x, op: str, is_cplx: bool):
+    """BLAS-style operand op: 'N' identity, 'T' transpose, 'C' conjugate
+    transpose (complex only — parity with the reference's opA/opB args,
+    include/gemmul8.hpp gemm signatures)."""
+    if op == "N":
+        return x
+    if op == "T":
+        return x.T if not isinstance(x, np.ndarray) else x.T.copy()
+    if op == "C":
+        if not is_cplx:
+            return x.T if not isinstance(x, np.ndarray) else x.T.copy()
+        if isinstance(x, C64Bits):
+            im = F64Bits(x.im.hi ^ jnp.uint32(0x80000000), x.im.lo)
+            return C64Bits(x.re.T, F64Bits(im.hi.T, im.lo.T))
+        return (np.conj(x).T.copy() if isinstance(x, np.ndarray)
+                else jnp.conj(x).T)
+    raise ValueError(f"op must be N/T/C, got {op}")
 
 
 def _finalize(c_raw, out_kind: str, alpha, beta, c_in, want_native_f64: bool):
@@ -100,6 +121,8 @@ def gemm(
     out_dtype=None,
     moduli_chunk: Optional[int] = None,
     max_workspace_bytes: Optional[int] = None,
+    op_a: str = "N",
+    op_b: str = "N",
 ):
     """Emulated high-precision GEMM via Ozaki Scheme II on int8 MXU matmuls.
 
@@ -109,9 +132,13 @@ def gemm(
     (~1 extra modulus worth of accuracy)."""
     if not (2 <= num_moduli <= tables.MAX_MODULI):
         raise ValueError(f"num_moduli must be in [2, {tables.MAX_MODULI}]")
-    if isinstance(a, C64Bits) or isinstance(b, C64Bits) or (
-            hasattr(a, "dtype") and jnp.issubdtype(
-                getattr(a, "dtype", None), jnp.complexfloating)):
+    is_cplx = (isinstance(a, C64Bits) or isinstance(b, C64Bits)
+               or any(hasattr(x, "dtype") and jnp.issubdtype(
+                   getattr(x, "dtype", None), jnp.complexfloating)
+                   for x in (a, b)))
+    a = _apply_op(a, op_a, is_cplx)
+    b = _apply_op(b, op_b, is_cplx)
+    if is_cplx:
         from .core import complexgemm as cg
 
         return cg.gemm_complex(a, b, alpha=alpha, beta=beta, c=c,
@@ -130,14 +157,37 @@ def gemm(
     return _finalize(c_raw, kind, alpha, beta, c, want_native_f64)
 
 
-import functools as _functools
-
-
 @_functools.lru_cache(maxsize=None)
 def _jit_core(num_moduli: int, fastmode: bool, kind: str,
               moduli_chunk=None):
     return jax.jit(lambda a, b: _g.gemm_core(a, b, num_moduli, fastmode,
                                              kind, moduli_chunk))
+
+
+def gemm_batched(a, b, *, num_moduli: int = 14, fastmode: bool = True,
+                 out_dtype=None):
+    """Strided-batch emulated GEMM: a (B, m, k) x b (B, k, n) -> (B, m, n).
+    Capability parity with cuMpSGEMM's gemm_stridedBatch
+    (include/cumpsgemm/cumpsgemm.hpp:10-92)."""
+    ca, cb_ = _canon_real(a), _canon_real(b)
+    if len(ca.shape) != 3 or len(cb_.shape) != 3:
+        raise ValueError("gemm_batched expects 3D (batch, rows, cols)")
+    if ca.shape[0] != cb_.shape[0] or ca.shape[2] != cb_.shape[1]:
+        raise ValueError(f"batch shapes mismatch: {ca.shape} x {cb_.shape}")
+    if ca.shape[2] > tables.MAX_K:
+        raise ValueError("k exceeds the int32-exactness bound 2^17")
+    kind = _out_kind(ca, cb_, out_dtype)
+    fn = _jit_batched(num_moduli, fastmode, kind)
+    out = fn(ca, cb_)
+    if kind == "f64" and _backend_has_f64() and not isinstance(a, F64Bits):
+        return bits_to_f64(out)
+    return out
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_batched(num_moduli: int, fastmode: bool, kind: str):
+    return jax.jit(jax.vmap(lambda x, y: _g.gemm_core(
+        x, y, num_moduli, fastmode, kind, use_pallas=False)))
 
 
 def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,

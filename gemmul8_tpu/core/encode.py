@@ -41,6 +41,7 @@ import numpy as np
 
 from .. import tables
 from ..types import F64Bits
+from .modmath import mod_u26
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -132,17 +133,17 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
             p = (1 << (16 * i)) % m
             if p != 0:
                 acc = acc + di * _I32(p)
-        base = acc % _I32(m)
+        base = mod_u26(acc, m)
         if q_max_static > 0:
             f = jnp.where((qp & 1) != 0, _I32(2 % m if m == 2 else 2), _I32(1))
             f = f * jnp.where((qp & 2) != 0, _I32(4), _I32(1))
             f = f * jnp.where((qp & 4) != 0, _I32(16), _I32(1))
-            f = (f * jnp.where((qp & 8) != 0, _I32(256 % m), _I32(1))) % _I32(m)
+            f = mod_u26(f * jnp.where((qp & 8) != 0, _I32(256 % m), _I32(1)), m)
             if q_max_static >= 16:
-                f = (f * jnp.where((qp & 16) != 0, _I32((1 << 16) % m), _I32(1))) % _I32(m)
+                f = mod_u26(f * jnp.where((qp & 16) != 0, _I32((1 << 16) % m), _I32(1)), m)
             if q_max_static >= 32:
-                f = (f * jnp.where((qp & 32) != 0, _I32((1 << 32) % m), _I32(1))) % _I32(m)
-            base = (base * f) % _I32(m)
+                f = mod_u26(f * jnp.where((qp & 32) != 0, _I32((1 << 32) % m), _I32(1)), m)
+            base = mod_u26(base * f, m)
         # apply sign: residue of -x is (m - r) mod m
         r = jnp.where(neg & (base > 0), _I32(m) - base, base)
         # center into [-128, 127]

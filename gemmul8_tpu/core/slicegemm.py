@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import tables
+from .modmath import mod_i32
 
 _I32 = jnp.int32
 
@@ -45,7 +46,7 @@ def mod_reduce(c32: jax.Array, num_moduli: int, moduli_idx=None) -> jax.Array:
         if m == 256:
             outs.append(c32[jj] & _I32(255))
         else:
-            outs.append(c32[jj] % _I32(m))
+            outs.append(mod_i32(c32[jj], m))
     return jnp.stack(outs, axis=0)
 
 

@@ -1,0 +1,155 @@
+"""Mutable-precision SGEMM on low-precision matrix units (cuMpSGEMM analog).
+
+The reference suite includes cuMpSGEMM (/root/reference/cuMpSGEMM): SGEMM/
+CGEMM on FP16/TF32 Tensor Cores with Ootomo-style error correction (TCEC),
+exponent-statistics-driven automatic precision selection, and dynamic
+scaling (README.md:1-57, src/exp_stats.cu, src/dynamic_scaling.cu).
+
+TPU analog: the MXU's fast input format is bfloat16. Error-corrected f32
+matmul = split each f32 operand into leading/residual bf16 parts and sum
+the cross products ("bf16x3": hi*hi + hi*lo + lo*hi — the TCEC recipe with
+bf16 instead of FP16; "bf16x6" adds the second-order terms for full-f32
+grade). Because bf16 shares f32's exponent range there is no overflow
+motivation for scaling, but the residual split loses bits when a tensor's
+dynamic range is extreme — exp_stats drives the AUTO mode and the dynamic
+scaling mode exactly like the reference's exponent histograms.
+
+Modes (cf. cuMpSGEMM/include/cumpsgemm/detail/common.h:6-19):
+  NATIVE  — XLA f32 dot (Precision.HIGHEST)
+  BF16TC  — one bf16 matmul (TF32TC analog)
+  BF16X3  — error-corrected 3-matmul split (FP16TCEC analog)
+  BF16X6  — 6-term split (full f32 accuracy)
+  SCALING — per-row/col power-of-2 scaling + BF16X3 (FP16TCEC_SCALING)
+  AUTO    — exp_stats-driven choice between BF16TC / BF16X3 / NATIVE
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Mode(enum.Enum):
+    NATIVE = "native"
+    BF16TC = "bf16tc"
+    BF16X3 = "bf16x3"
+    BF16X6 = "bf16x6"
+    SCALING = "scaling"
+    AUTO = "auto"
+
+
+class ExpStats(NamedTuple):
+    """Exponent statistics of a tensor (reference exp_stats.cu:7-49):
+    histogram over biased f32 exponent octaves, plus the fraction of
+    nonzero elements more than `lose_threshold` octaves below the max
+    (those lose residual-split precision)."""
+
+    max_exp: jax.Array        # int32 biased exponent of amax
+    lost_fraction: jax.Array  # f32 in [0, 1]
+    total: jax.Array          # nonzero count
+
+
+def exp_stats(x: jax.Array, lose_threshold: int = 16) -> ExpStats:
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    e = ((bits >> 23) & jnp.uint32(0xFF)).astype(jnp.int32)
+    nz = e > 0
+    emax = jnp.max(jnp.where(nz, e, 0))
+    lost = jnp.sum((nz & (e < emax - lose_threshold)).astype(jnp.int32))
+    total = jnp.maximum(jnp.sum(nz.astype(jnp.int32)), 1)
+    return ExpStats(emax, lost.astype(jnp.float32) / total, total)
+
+
+def _split_bf16(x: jax.Array):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((a.ndim - 1,), (b.ndim - 2,)),
+                                      ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bf16x3(a, b):
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    return _dot(ah, bh) + (_dot(ah, bl) + _dot(al, bh))
+
+
+def _bf16x6(a, b):
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    a2 = (a - ah.astype(jnp.float32) - al.astype(jnp.float32)).astype(
+        jnp.bfloat16)
+    b2 = (b - bh.astype(jnp.float32) - bl.astype(jnp.float32)).astype(
+        jnp.bfloat16)
+    return (_dot(ah, bh)
+            + (_dot(ah, bl) + _dot(al, bh))
+            + (_dot(al, bl) + _dot(ah, b2) + _dot(a2, bh)))
+
+
+def _scaled_bf16x3(a, b):
+    """Dynamic scaling (reference dynamic_scaling.cu:7-44): scale rows of a
+    / cols of b to near-1 magnitude by powers of two (exact), multiply,
+    unscale. Protects the residual split from underflow at extreme
+    magnitudes."""
+    ea = jnp.floor(jnp.log2(jnp.maximum(
+        jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-38)))
+    eb = jnp.floor(jnp.log2(jnp.maximum(
+        jnp.max(jnp.abs(b), axis=-2, keepdims=True), 1e-38)))
+    sa = jnp.exp2(-ea)
+    sb = jnp.exp2(-eb)
+    c = _bf16x3(a * sa, b * sb)
+    # ea is (..., m, 1), eb is (..., 1, n): broadcasts to the (m, n) output
+    return c * jnp.exp2(ea + eb)
+
+
+def mp_gemm(a: jax.Array, b: jax.Array, mode: Mode = Mode.AUTO,
+            auto_lost_threshold: float = 0.05):
+    """Mutable-precision f32 GEMM. a (..., m, k) x b (..., k, n)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if mode == Mode.NATIVE:
+        return jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (b.ndim - 2,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    if mode == Mode.BF16TC:
+        return _dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    if mode == Mode.BF16X3:
+        return _bf16x3(a, b)
+    if mode == Mode.BF16X6:
+        return _bf16x6(a, b)
+    if mode == Mode.SCALING:
+        return _scaled_bf16x3(a, b)
+    if mode == Mode.AUTO:
+        # device-side rule, no host sync (reference dynamic_launch.cu):
+        # extreme dynamic range -> full-precision path, else corrected bf16
+        sa = exp_stats(a)
+        sb = exp_stats(b)
+        bad = jnp.maximum(sa.lost_fraction, sb.lost_fraction)
+        return jax.lax.cond(
+            bad > auto_lost_threshold,
+            lambda x, y: jax.lax.dot_general(
+                x, y, (((x.ndim - 1,), (y.ndim - 2,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32),
+            _bf16x3, a, b)
+    raise ValueError(mode)
+
+
+def mp_cgemm(a, b, mode: Mode = Mode.BF16X3):
+    """Complex64 mutable-precision GEMM via 4 real mp_gemms."""
+    ar, ai = jnp.real(a).astype(jnp.float32), jnp.imag(a).astype(jnp.float32)
+    br, bi = jnp.real(b).astype(jnp.float32), jnp.imag(b).astype(jnp.float32)
+    rr = mp_gemm(ar, br, mode)
+    ii = mp_gemm(ai, bi, mode)
+    ri = mp_gemm(ar, bi, mode)
+    ir = mp_gemm(ai, br, mode)
+    return jax.lax.complex(rr - ii, ri + ir)

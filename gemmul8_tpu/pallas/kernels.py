@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import tables
 from ..core import encode as enc
 from ..core import reconstruct as rec
+from ..core.modmath import mod_i32
 from ..types import F64Bits
 
 _I32 = jnp.int32
@@ -115,7 +116,7 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind):
         if mj == 256:
             r.append(c32[j] & _I32(255))
         else:
-            r.append(c32[j] % _I32(mj))
+            r.append(mod_i32(c32[j], mj))
     x = rec.accumulate_weighted(jnp.stack(r, 0), num_moduli)
     e_fix = -(sft_a + sft_b)
     mag, negf = rec._mod_m_centered(x, num_moduli)
@@ -128,7 +129,7 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind):
 
 
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
-                       block=(256, 256)):
+                       block=(128, 256)):
     """Fused mod-reduce + CRT + inverse scaling. c32: (L, m, n) int32 slice
     products; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32 array."""
     L, m, n = c32.shape
