@@ -16,6 +16,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: the 8192^3 graphs take minutes to compile
+    # through the remote TPU compiler; cache hits make reruns instant
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gemmul8_tpu.core import gemm as gg

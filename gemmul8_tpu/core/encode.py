@@ -135,14 +135,24 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
                 acc = acc + di * _I32(p)
         base = mod_u26(acc, m)
         if q_max_static > 0:
-            f = jnp.where((qp & 1) != 0, _I32(2 % m if m == 2 else 2), _I32(1))
-            f = f * jnp.where((qp & 2) != 0, _I32(4), _I32(1))
-            f = f * jnp.where((qp & 4) != 0, _I32(16), _I32(1))
-            f = mod_u26(f * jnp.where((qp & 8) != 0, _I32(256 % m), _I32(1)), m)
+            # multiply in 2^qp mod m via bit-decomposition selects; defer
+            # modular reduction while the running bound stays below 2^26
+            # (f <= 2^15 after the 8-bit stage, so base*f <= 255*2^15).
+            f = jnp.where((qp & 1) != 0, _I32(2), _I32(1))
+            if q_max_static >= 2:
+                f = f * jnp.where((qp & 2) != 0, _I32(4), _I32(1))
+            if q_max_static >= 4:
+                f = f * jnp.where((qp & 4) != 0, _I32(16), _I32(1))
+            if q_max_static >= 8:
+                f = f * jnp.where((qp & 8) != 0, _I32(256 % m), _I32(1))
             if q_max_static >= 16:
-                f = mod_u26(f * jnp.where((qp & 16) != 0, _I32((1 << 16) % m), _I32(1)), m)
+                f = mod_u26(f, m) if q_max_static >= 8 else f
+                f = f * jnp.where((qp & 16) != 0, _I32((1 << 16) % m),
+                                  _I32(1))
             if q_max_static >= 32:
-                f = mod_u26(f * jnp.where((qp & 32) != 0, _I32((1 << 32) % m), _I32(1)), m)
+                f = mod_u26(f, m)
+                f = f * jnp.where((qp & 32) != 0, _I32((1 << 32) % m),
+                                  _I32(1))
             base = mod_u26(base * f, m)
         # apply sign: residue of -x is (m - r) mod m
         r = jnp.where(neg & (base > 0), _I32(m) - base, base)

@@ -105,11 +105,12 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             sft_a, sft_b = accurate_sfts(a, b, num_moduli)
         if use_pallas:
             from ..pallas import kernels as pk
+            from ..pallas import matmul as pm
 
             a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
             b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
-            c32 = sg.slice_products(a8, b8)
-            return pk.reconstruct_pallas(c32, sft_a, sft_b, num_moduli,
+            r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
+            return pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
                                          out_dtype)
         a8 = _encode_idx(a, sft_a, num_moduli, None)
         b8 = _encode_idx(b, sft_b, num_moduli, None)

@@ -110,13 +110,17 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
 # ---------------------------------------------------------------------------
 
 def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind):
-    r = []
-    for j in range(num_moduli):
-        mj = int(tables.MODULI[j])
-        if mj == 256:
-            r.append(c32[j] & _I32(255))
-        else:
-            r.append(mod_i32(c32[j], mj))
+    if c32.dtype == jnp.uint8:
+        # canonical residues from the fused-matmul epilogue
+        r = [c32[j].astype(_I32) for j in range(num_moduli)]
+    else:
+        r = []
+        for j in range(num_moduli):
+            mj = int(tables.MODULI[j])
+            if mj == 256:
+                r.append(c32[j] & _I32(255))
+            else:
+                r.append(mod_i32(c32[j], mj))
     x = rec.accumulate_weighted(jnp.stack(r, 0), num_moduli)
     e_fix = -(sft_a + sft_b)
     mag, negf = rec._mod_m_centered(x, num_moduli)

@@ -1,0 +1,171 @@
+"""Pallas batched int8 matmul with fused modular epilogue.
+
+The moduli-batched slice products are the FLOP core (reference: the
+cublasGemmEx CUDA_R_8I loop, gemmul8.cu:259-275). XLA's batched int8
+dot_general measured ~217 TOPS on v5e (55% of the 394.5 TOPS int8 peak)
+and materializes the full (L, m, n) int32 product to HBM (3.7 GB at
+8192^2, L=14) only for the reconstruct kernel to re-read it.
+
+This kernel tiles the batched matmul onto the MXU with an int32 VMEM
+accumulator and applies the per-modulus Barrett reduction in the epilogue,
+writing canonical uint8 residues instead — 4x less HBM write + 4x less
+read for the consumer (the equivalent fusion the reference performs as a
+separate conv_32i_2_8u kernel, conv_32i_2_8u.hpp:25-56).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import tables
+
+_I32 = jnp.int32
+
+
+def _ceil_to(x, a):
+    return (x + a - 1) // a * a
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def matmul_int8_pallas(a8: jax.Array, b8: jax.Array,
+                       block=(512, 512, 512)) -> jax.Array:
+    """(L, m, k) int8 x (L, k, n) int8 -> (L, m, n) int32, exact."""
+    L, m, k = a8.shape
+    _, _, n = b8.shape
+    bm, bn, bk = block
+    mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
+    a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
+    b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
+    grid = (L, mp // bm, np_ // bn, kp // bk)
+
+    def kern(a_ref, b_ref, o_ref, acc_ref):
+        # program_id must be hoisted out of pl.when bodies (the interpreter
+        # cannot lower it inside lax.cond branches)
+        kk = pl.program_id(3)
+        klast = pl.num_programs(3) - 1
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+        @pl.when(kk == klast)
+        def _():
+            o_ref[0] = acc_ref[:]
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda l, i, j, kk: (l, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn), lambda l, i, j, kk: (l, kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda l, i, j, kk: (l, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, mp, np_), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * mp * np_ * kp,
+            bytes_accessed=L * (mp * kp + kp * np_ + mp * np_ * 4),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(a8p, b8p)
+    return out[:, :m, :n]
+
+
+def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
+                         moduli_idx=None,
+                         block=(512, 512, 512)) -> jax.Array:
+    """Batched int8 matmul with the Barrett mod-reduce fused into the
+    epilogue: emits (L, m, n) uint8 canonical residues (1 byte/elem HBM
+    write instead of 4)."""
+    L, m, k = a8.shape
+    _, _, n = b8.shape
+    if moduli_idx is None:
+        moduli_idx = tuple(range(num_moduli))
+    assert L == len(moduli_idx)
+    bm, bn, bk = block
+    mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
+    a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
+    b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
+    grid = (L, mp // bm, np_ // bn, kp // bk)
+    # per-batch modulus constants, scalar-prefetched
+    mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
+    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
+                         jnp.float32)
+
+    def kern(mods_ref, recips_ref, a_ref, b_ref, o_ref, acc_ref):
+        kk = pl.program_id(3)
+        klast = pl.num_programs(3) - 1
+        l = pl.program_id(0)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+        @pl.when(kk == klast)
+        def _():
+            mj = mods_ref[l]
+            rj = recips_ref[l]
+            x = acc_ref[:]
+            # float-estimate Barrett with dynamic modulus (m >= 173):
+            # q error < 7, biased down 8 -> r in [0, 16m): four fixups
+            q = jnp.floor(x.astype(jnp.float32) * rj
+                          - jnp.float32(8.0)).astype(_I32)
+            r = x - q * mj
+            for s in (8, 4, 2, 1):
+                r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+            # modulus 256: the Barrett path handles it too (exact), but the
+            # canonical residue may be 128..255 — uint8 output holds it.
+            o_ref[0] = r.astype(jnp.uint8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, bk),
+                         lambda l, i, j, kk, *refs: (l, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn),
+                         lambda l, i, j, kk, *refs: (l, kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn),
+                               lambda l, i, j, kk, *refs: (l, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, mp, np_), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * mp * np_ * kp,
+            bytes_accessed=L * (mp * kp + kp * np_ + mp * np_),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(mods, recips, a8p, b8p)
+    return out[:, :m, :n]
