@@ -49,11 +49,11 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
                    m: int = 256, seed: int = 123456, outdir: str = "results",
                    write_csv: bool = True):
     """Accuracy sweep. dtype 'd' (f64 out) or 'f' (f32 out). Returns rows
-    [{phi, m, n, k, func, max_relerr, med_relerr}]. Ground truth: numpy dd
-    GEMM (evalref.dd_gemm_f64)."""
+    [{phi, m, n, k, func, max_relerr, med_relerr}]. Ground truth: dd GEMM
+    (native C++ oracle when built, numpy dd fallback — bench/native.py)."""
     from .. import gemm
-    from .evalref import dd_gemm_f64
-    from .matrices import phi_matrix, relerr_stats
+    from .matrices import phi_matrix
+    from .native import dd_gemm, relerr_vs_dd
 
     rows = []
     for phi in phis:
@@ -63,12 +63,13 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
             if dtype == "f":
                 a = a.astype(np.float32)
                 b = b.astype(np.float32)
-            ref = dd_gemm_f64(np.asarray(a, np.float64),
-                              np.asarray(b, np.float64))
+            ref_hi, ref_lo = dd_gemm(np.asarray(a, np.float64),
+                                     np.asarray(b, np.float64))
             # native baseline row
             native = np.asarray(a, np.float64) @ np.asarray(b, np.float64) \
                 if dtype == "d" else (a @ b)
-            mx, med = relerr_stats(np.asarray(native, np.float64), ref)
+            mx, med = relerr_vs_dd(np.asarray(native, np.float64),
+                                   ref_hi, ref_lo)
             rows.append(dict(phi=phi, m=m, n=m, k=k,
                              func="DGEMM" if dtype == "d" else "SGEMM",
                              max_relerr=mx, med_relerr=med))
@@ -78,7 +79,8 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
                     if dtype == "f" and L > 19:
                         continue
                     c = np.asarray(gemm(a, b, num_moduli=L, fastmode=fast))
-                    mx, med = relerr_stats(c.astype(np.float64), ref)
+                    mx, med = relerr_vs_dd(c.astype(np.float64),
+                                           ref_hi, ref_lo)
                     rows.append(dict(phi=phi, m=m, n=m, k=k,
                                      func=f"{tag}-{L}",
                                      max_relerr=mx, med_relerr=med))

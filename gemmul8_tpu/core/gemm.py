@@ -98,7 +98,12 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if moduli_chunk is None or moduli_chunk >= num_moduli:
-        if fastmode:
+        if use_pallas and fastmode:
+            from ..pallas import kernels as pk
+
+            sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1)
+            sft_b = pk.fast_sft_pallas(b, num_moduli, axis=0)
+        elif fastmode:
             sft_a = _fast_sft_only(a, num_moduli, axis=1)
             sft_b = _fast_sft_only(b, num_moduli, axis=0)
         else:

@@ -43,6 +43,109 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Fast-mode shift-statistics kernel: per-row/col max exponent + online-
+# rescaled squared norm -> shift, one VMEM pass over the operand.
+# (XLA materializes the chunk-extraction intermediates of the jnp stats
+# pass to HBM — measured 50 ms at 8192^2 f64 vs ~3 ms for this kernel.)
+# ---------------------------------------------------------------------------
+
+def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
+    """Fast-mode ('vecnorm') shift selection. x: F64Bits or f32 array (2D).
+    axis=1: per-row shifts (m,1); axis=0: per-column shifts (1,k).
+
+    Online rescaling: block-local squared norms are kept relative to the
+    running max exponent and rescaled by exact powers of two when a new
+    block raises the max (same merge rule as online softmax). Terms that
+    underflow f32 at rescale are < 2^-150 relative — far below the
+    (1 + k*2^-23) round-up guard already applied to the norm.
+    """
+    is64 = isinstance(x, F64Bits)
+    mant_bits = 53 if is64 else 24
+    bias = 1023 if is64 else 127
+    d0, d1 = x.shape
+    if axis == 1:
+        rows, kdim = d0, d1
+        br, bk = block
+    else:
+        rows, kdim = d1, d0
+        br, bk = block[0], block[1]
+    t_f = tables.threshold_fast(num_moduli)
+    rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
+    grid = (rp // br, kp // bk)
+
+    # pad and orient inputs; kernel always reduces along the last dim
+    def prep(arr):
+        if axis == 0:
+            arr = arr.T
+        return jnp.pad(arr, ((0, rp - rows), (0, kp - kdim)))
+
+    if is64:
+        inputs = (prep(x.hi), prep(x.lo))
+    else:
+        bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+        inputs = (prep(bits),)
+
+    def kern(*refs):
+        *in_refs, out_ref, e_acc, s_acc, af_acc = refs
+        kk = pl.program_id(1)
+        klast = pl.num_programs(1) - 1
+        if is64:
+            chunks, exp, sign, normal = enc._f64_fields(in_refs[0][:],
+                                                        in_refs[1][:])
+        else:
+            chunks, exp, sign, normal = enc._f32_fields(in_refs[0][:])
+        e_blk = jnp.max(jnp.where(normal, exp, _I32(0)), axis=1,
+                        keepdims=True)
+        xs = enc._scaled_abs_f32(chunks, exp, e_blk, normal, mant_bits)
+        s_blk = jnp.sum(xs * xs, axis=1, keepdims=True, dtype=jnp.float32)
+        af_blk = jnp.any(normal, axis=1, keepdims=True).astype(_I32)
+
+        @pl.when(kk == 0)
+        def _():
+            e_acc[:] = e_blk
+            s_acc[:] = s_blk
+            af_acc[:] = af_blk
+
+        @pl.when(kk > 0)
+        def _():
+            e_new = jnp.maximum(e_acc[:], e_blk)
+            scale_old = jnp.exp2((2 * (e_acc[:] - e_new)).astype(jnp.float32))
+            scale_blk = jnp.exp2((2 * (e_blk - e_new)).astype(jnp.float32))
+            s_acc[:] = s_acc[:] * scale_old + s_blk * scale_blk
+            e_acc[:] = e_new
+            af_acc[:] = af_acc[:] | af_blk
+
+        @pl.when(kk == klast)
+        def _():
+            nrm2 = jnp.maximum(s_acc[:] * jnp.float32(1.0 + kdim * 2.0**-23),
+                               jnp.float32(1.0))
+            lgn = jnp.log2(nrm2)
+            sft = (jnp.minimum(_I32(t_f - 1),
+                               jnp.floor(-0.51 * lgn + t_f).astype(_I32))
+                   - (e_acc[:] - _I32(bias)))
+            out_ref[:] = jnp.where(af_acc[:] > 0, sft, _I32(0))
+
+    data_spec = pl.BlockSpec((br, bk), lambda i, kk: (i, kk),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[data_spec] * len(inputs),
+        out_specs=pl.BlockSpec((br, 1), lambda i, kk: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((br, 1), jnp.int32),
+                        pltpu.VMEM((br, 1), jnp.float32),
+                        pltpu.VMEM((br, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(*inputs)
+    out = out[:rows]
+    return out if axis == 1 else out.T
+
+
+# ---------------------------------------------------------------------------
 # Encode kernel
 # ---------------------------------------------------------------------------
 

@@ -79,7 +79,8 @@ def matmul_int8_pallas(a8: jax.Array, b8: jax.Array,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * L * mp * np_ * kp,
             bytes_accessed=L * (mp * kp + kp * np_ + mp * np_ * 4),
@@ -161,7 +162,10 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
         out_shape=jax.ShapeDtypeStruct((L, mp, np_), jnp.uint8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # v5e exposes far more VMEM than the 16MB default scoped limit;
+            # large tiles halve HBM traffic (see tune_matmul.py results)
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * L * mp * np_ * kp,
             bytes_accessed=L * (mp * kp + kp * np_ + mp * np_),
