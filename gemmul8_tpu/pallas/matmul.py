@@ -92,7 +92,7 @@ def matmul_int8_pallas(a8: jax.Array, b8: jax.Array,
 
 def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
                          moduli_idx=None,
-                         block=(512, 512, 512)) -> jax.Array:
+                         block=(1024, 1024, 4096)) -> jax.Array:
     """Batched int8 matmul with the Barrett mod-reduce fused into the
     epilogue: emits (L, m, n) uint8 canonical residues (1 byte/elem HBM
     write instead of 4)."""
@@ -102,6 +102,9 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
         moduli_idx = tuple(range(num_moduli))
     assert L == len(moduli_idx)
     bm, bn, bk = block
+    # shrink tiles for small problems (tuned defaults target >= 4096^2)
+    bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
+        min(bk, _ceil_to(k, 128))
     mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
     a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
     b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))

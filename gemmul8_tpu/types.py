@@ -88,8 +88,10 @@ def f64_to_bits(x) -> F64Bits:
 
 
 def bits_to_f64(b: F64Bits, to_numpy: bool = False):
-    """Inverse of f64_to_bits."""
-    if to_numpy:
+    """Inverse of f64_to_bits. Without x64 enabled (e.g. on TPU) a device
+    bitcast would silently truncate to f32, so the conversion happens on
+    host and returns numpy in that case."""
+    if to_numpy or not jax.config.jax_enable_x64:
         hi = np.asarray(b.hi, dtype=np.uint32)
         lo = np.asarray(b.lo, dtype=np.uint32)
         u = np.stack([lo, hi], axis=-1)

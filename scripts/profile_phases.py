@@ -30,13 +30,33 @@ def sync(out):
     return out
 
 
-def timeit(f, *args, iters=3):
+_SYNC_OVERHEAD = None
+
+
+def sync_overhead():
+    """Measured cost of one sync round trip through the tunnel (~60 ms)."""
+    global _SYNC_OVERHEAD
+    if _SYNC_OVERHEAD is None:
+        import jax.numpy as jnp
+
+        x = jnp.zeros((8, 128))
+        sync(x)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            sync(x)
+        _SYNC_OVERHEAD = (time.perf_counter() - t0) / 3
+    return _SYNC_OVERHEAD
+
+
+def timeit(f, *args, iters=10):
+    ovh = sync_overhead()
     out = sync(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
     sync(out)
-    return (time.perf_counter() - t0) / iters, out
+    dt = max(time.perf_counter() - t0 - ovh, 1e-9) / iters
+    return dt, out
 
 
 def main():

@@ -19,13 +19,30 @@ def sync(out):
     return out
 
 
-def timeit(f, *args, iters=3):
+_OVH = None
+
+
+def sync_overhead():
+    global _OVH
+    if _OVH is None:
+        import jax.numpy as jnp
+        x = jnp.zeros((8, 128))
+        sync(x)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            sync(x)
+        _OVH = (time.perf_counter() - t0) / 3
+    return _OVH
+
+
+def timeit(f, *args, iters=10):
+    ovh = sync_overhead()
     out = sync(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
     sync(out)
-    return (time.perf_counter() - t0) / iters, out
+    return max(time.perf_counter() - t0 - ovh, 1e-9) / iters, out
 
 
 def main():
