@@ -67,6 +67,18 @@ def scale_const_sub(a: Sequence[jax.Array], t: jax.Array,
     return out, c
 
 
+def sub_const(a: Sequence[jax.Array], const_limbs: Sequence[int]):
+    """a - C limbwise vs a compile-time constant. Returns (limbs, borrow):
+    borrow == 0 iff a >= C (limbs then canonical), else -1."""
+    out = []
+    c = jnp.zeros_like(a[0])
+    for xa, cl in zip(a, const_limbs):
+        t = xa - _I32(int(cl)) + c
+        out.append(t & _I32(_MASK))
+        c = t >> 16
+    return out, c
+
+
 def geq_const(a: Sequence[jax.Array], const_limbs: Sequence[int]) -> jax.Array:
     """a >= C (canonical limbs vs compile-time constant).
 
@@ -106,19 +118,37 @@ def const_minus(const_limbs: Sequence[int], a: Sequence[jax.Array]):
 def shift_right(limbs: Sequence[jax.Array], u: jax.Array,
                 n_out: int) -> List[jax.Array]:
     """Dynamic right shift by u (elementwise int32, 0 <= u <= 16*(len+1)),
-    keeping the lowest n_out output limbs. Canonical input limbs."""
+    keeping the lowest n_out output limbs. Canonical input limbs.
+
+    Packs limb pairs into uint32 words and funnel-shifts those — halves the
+    select-chain length vs per-limb shifting (hot inside reconstruct)."""
     n = len(limbs)
-    w = jnp.clip(u >> 4, 0, n)
-    b = u & _I32(15)
-    padded = list(limbs) + [jnp.zeros_like(limbs[0])] * (n + n_out + 2)
-    out = []
-    for i in range(n_out):
+    _U = jnp.uint32
+    nw = (n + 1) // 2
+    words = []
+    for i in range(nw):
+        w = limbs[2 * i].astype(_U)
+        if 2 * i + 1 < n:
+            w = w | (limbs[2 * i + 1].astype(_U) << 16)
+        words.append(w)
+    nw_out = (n_out + 1) // 2
+    max_ws = (16 * (n + 1)) // 32 + 1
+    ws = u >> 5
+    b = (u & _I32(31)).astype(_U)
+    padded = words + [jnp.zeros_like(words[0])] * (max_ws + nw_out + 2)
+    out_words = []
+    for i in range(nw_out):
         sw = padded[i]
         sw1 = padded[i + 1]
-        for wv in range(1, n + 1):
-            sw = jnp.where(w == wv, padded[i + wv], sw)
-            sw1 = jnp.where(w == wv, padded[i + wv + 1], sw1)
-        out.append(((sw >> b) | (sw1 << (16 - b))) & _I32(_MASK))
+        for wv in range(1, max_ws + 1):
+            sw = jnp.where(ws == wv, padded[i + wv], sw)
+            sw1 = jnp.where(ws == wv, padded[i + wv + 1], sw1)
+        out_words.append((sw >> b) | ((sw1 << (_U(31) - b)) << 1))
+    out = []
+    for j in range(n_out):
+        w = out_words[j // 2]
+        w = (w >> 16) if (j % 2) else w
+        out.append(w.astype(_I32) & _I32(_MASK))
     return out
 
 

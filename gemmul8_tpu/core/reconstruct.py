@@ -77,14 +77,18 @@ def _mod_m_centered(x, num_moduli: int):
     for l in range(max(top - 1, 0), nl):
         xf = xf + x[l].astype(jnp.float32) * jnp.float32(2.0 ** (16 * l - scale))
     mf = float((mm >> scale) + 1) if scale >= 0 else float(mm << -scale)
-    # mf slightly over-estimates M in the same scale -> t_est <= t
+    # mf slightly over-estimates M in the same scale -> t_est <= t always
+    # (xf under-estimates X, mf over-estimates M, and the 2^-18 margin
+    # dominates the two f32 roundings since t <= 255*num_moduli < 2^12).
     t_est = jnp.floor(xf / jnp.float32(mf) * (1.0 - 2.0 ** -18)).astype(_I32)
     t_est = jnp.maximum(t_est, 0)
     x, _ = lb.scale_const_sub(x, t_est, m_limbs)
-    # Correct: a few conditional subtractions (t_est undershoots by O(1)).
-    for _ in range(4):
-        ge = lb.geq_const(x, m_limbs)
-        x = lb.sub_const_if(x, ge, m_limbs)
+    # Undershoot bound: t - t_est <= t*(2^-16 + 2^-18 + 2f32ulp) + 2 < 3
+    # (limb truncation of xf, mf granularity, division rounding, floor).
+    # Three borrow-select subtraction passes cover x < 4M exactly.
+    for _ in range(3):
+        cand, borrow = lb.sub_const(x, m_limbs)
+        x = lb.select(borrow == 0, cand, x)
     # Center: if X > M/2, value = X - M (negative), magnitude M - X.
     half_limbs = [int(v) for v in _const_limbs(mm // 2, nl)]
     neg = _gt_const(x, half_limbs)

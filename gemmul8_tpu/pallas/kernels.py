@@ -150,7 +150,7 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
 # ---------------------------------------------------------------------------
 
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=(256, 512)):
+                         moduli_idx=None, block=(256, 1024)):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
     (1,k) for axis=0). Returns (L, m, k) int8."""
@@ -202,6 +202,8 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
         out_specs=pl.BlockSpec((n_out, bm, bk), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, mp, kp), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*inputs)
     return out[:, :m, :k]
@@ -236,7 +238,7 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind):
 
 
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
-                       block=(128, 256)):
+                       block=(256, 512)):
     """Fused mod-reduce + CRT + inverse scaling. c32: (L, m, n) int32 slice
     products; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32 array."""
     L, m, n = c32.shape
@@ -267,6 +269,8 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
             out_specs=(tile_spec, tile_spec),
             out_shape=(jax.ShapeDtypeStruct((mp, np_), jnp.uint32),
                        jax.ShapeDtypeStruct((mp, np_), jnp.uint32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=_interpret(),
         )(c32p, sfta_p, sftb_p)
         return F64Bits(hi[:m, :n], lo[:m, :n])
@@ -278,6 +282,8 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
     o = pl.pallas_call(
         kern32, grid=grid, in_specs=in_specs, out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(c32p, sfta_p, sftb_p)
     return o[:m, :n]
