@@ -38,21 +38,28 @@ def main():
     A = bits(a)
     B = bits(a.T.copy())
 
-    def run(x, y):
+    def run(x, y_hi, y_lo, s_prev):
+        # fold the previous checksum into B's mantissa LSB inside the jitted
+        # graph: iterations form a serial dependency chain no caching or
+        # reordering layer can collapse, at one dispatch per iteration
+        y = F64Bits(y_hi, y_lo ^ (s_prev & jnp.uint32(1)))
         o = gg.gemm_core(x, y, num_moduli, True, "f64")
         return o, jnp.sum(o.hi ^ o.lo)  # checksum forces full execution
 
     f = jax.jit(run)
-    out, s = f(A, B)
+    s = jnp.uint32(0)
+    out, s = f(A, B.hi, B.lo, s)
     int(s)
-    # Timing protocol: enqueue all iterations, sync once at the end. The
-    # remote-TPU tunnel has a ~60 ms host<->device round trip; syncing per
-    # iteration would measure the tunnel, not the chip (the reference's
-    # 100-iter average has the same structure, test_double.cu:201-488).
+    int(jnp.sum(s))  # warm the sync-probe op so its compile isn't timed
+    # Timing protocol: enqueue all chained iterations, sync once at the
+    # end. The remote-TPU tunnel has a ~60 ms host<->device round trip;
+    # syncing per iteration would measure the tunnel, not the chip (the
+    # reference's 100-iter average has the same structure,
+    # test_double.cu:201-488).
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, s = f(A, B)
+        out, s = f(A, B.hi, B.lo, s)
     int(s)
     t_total = time.perf_counter() - t0
     # one empty round trip to estimate the final-sync overhead

@@ -110,6 +110,33 @@ def ozimmu_gemm(a: F64Bits, b: F64Bits, num_split: int = 8):
     return _assemble_f64(is_negative, eb, mant)
 
 
+def mantissa_loss_stats(bits: F64Bits, num_split: int, axis: int):
+    """Average number of mantissa bits falling below the slice window —
+    the statistic ozIMMU's auto mode thresholds on
+    (OZIMMU_AUTO_AVG_MANTISSA_LOSS_THRESHOLD, ozIMMU_EF/src/config.cu:4-146
+    and split.cu mantissa-loss counters)."""
+    chunks, exp, sign, normal = enc._f64_fields(bits.hi, bits.lo)
+    emax = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
+    # bits of the element below the split window [emax - num_split*b, emax)
+    depth = (emax - exp) + _I32(53 - num_split * BITS_PER_SLICE)
+    lost = jnp.clip(depth, 0, 53).astype(jnp.float32)
+    lost = jnp.where(normal, lost, 0.0)
+    cnt = jnp.maximum(jnp.sum(normal.astype(_I32)), 1)
+    return jnp.sum(lost) / cnt.astype(jnp.float32)
+
+
+def auto_num_split(a: F64Bits, b: F64Bits, threshold: float = 2.0,
+                   candidates=range(3, 17)) -> int:
+    """ozIMMU `fp64_int8_auto` analog: the smallest slice count whose
+    average mantissa loss (both operands) is below `threshold` bits."""
+    for s in candidates:
+        la = float(mantissa_loss_stats(a, s, axis=1))
+        lb_ = float(mantissa_loss_stats(b, s, axis=0))
+        if (la + lb_) / 2 <= threshold:
+            return s
+    return max(candidates)
+
+
 @lru_cache(maxsize=None)
 def _jit_ozimmu(num_split):
     return jax.jit(lambda a, b: ozimmu_gemm(a, b, num_split))

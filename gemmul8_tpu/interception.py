@@ -65,6 +65,35 @@ def default_rule(m: int, n: int, k: int, dtype) -> str:
 
 _ELIGIBLE = (jnp.float32, jnp.float64, jnp.complex64, jnp.complex128)
 
+# ---------------------------------------------------------------------------
+# Imperative hijack control (cuMpSGEMM hijack_control analog,
+# include/cumpsgemm/hijack_control.hpp:10-33): set/unset a forced mode
+# without entering a context manager, and query the last intercepted call.
+# ---------------------------------------------------------------------------
+
+_FORCED_MODE: Optional[str] = None
+_LAST_FUNC: str = ""
+
+
+def set_compute_mode(mode: str) -> None:
+    """Force every subsequent intercepted call to `mode` ('emulate' /
+    'native'), overriding the rule callback."""
+    global _FORCED_MODE
+    if mode not in ("emulate", "native"):
+        raise ValueError(mode)
+    _FORCED_MODE = mode
+
+
+def unset_compute_mode() -> None:
+    global _FORCED_MODE
+    _FORCED_MODE = None
+
+
+def get_last_func_name() -> str:
+    """Name+shape of the last intercepted matmul (hijack_control's
+    last-called-function string)."""
+    return _LAST_FUNC
+
 
 @contextlib.contextmanager
 def override_matmuls(num_moduli: Optional[int] = None,
@@ -90,13 +119,15 @@ def override_matmuls(num_moduli: Optional[int] = None,
         return (a.dtype in _ELIGIBLE or b.dtype in _ELIGIBLE)
 
     def _route(a, b, orig, **kwargs):
+        global _LAST_FUNC
         if kwargs or not _eligible(a, b):
             return orig(a, b, **kwargs)
         m, k = a.shape
         _, n = b.shape
         if k > 1 << 17:
             return orig(a, b)
-        mode = rule(m, n, k, a.dtype)
+        mode = _FORCED_MODE or rule(m, n, k, a.dtype)
+        _LAST_FUNC = f"matmul[{m}x{k}x{n},{a.dtype}]->{mode}"
         if mode == "native":
             return orig(a, b)
         t0 = time.perf_counter()

@@ -65,19 +65,21 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
     d0, d1 = x.shape
     if axis == 1:
         rows, kdim = d0, d1
-        br, bk = block
     else:
         rows, kdim = d1, d0
-        br, bk = block[0], block[1]
+    br, bk = block
     t_f = tables.threshold_fast(num_moduli)
     rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
     grid = (rp // br, kp // bk)
+    # reduction runs along `axis` in the block directly (no host transpose:
+    # that would materialize a full copy of the operand)
+    red = axis
+    stat_shape = (br, 1) if axis == 1 else (1, br)
 
-    # pad and orient inputs; kernel always reduces along the last dim
     def prep(arr):
-        if axis == 0:
-            arr = arr.T
-        return jnp.pad(arr, ((0, rp - rows), (0, kp - kdim)))
+        pad = ((0, rp - rows), (0, kp - kdim)) if axis == 1 \
+            else ((0, kp - kdim), (0, rp - rows))
+        return jnp.pad(arr, pad)
 
     if is64:
         inputs = (prep(x.hi), prep(x.lo))
@@ -94,11 +96,11 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
                                                         in_refs[1][:])
         else:
             chunks, exp, sign, normal = enc._f32_fields(in_refs[0][:])
-        e_blk = jnp.max(jnp.where(normal, exp, _I32(0)), axis=1,
+        e_blk = jnp.max(jnp.where(normal, exp, _I32(0)), axis=red,
                         keepdims=True)
         xs = enc._scaled_abs_f32(chunks, exp, e_blk, normal, mant_bits)
-        s_blk = jnp.sum(xs * xs, axis=1, keepdims=True, dtype=jnp.float32)
-        af_blk = jnp.any(normal, axis=1, keepdims=True).astype(_I32)
+        s_blk = jnp.sum(xs * xs, axis=red, keepdims=True, dtype=jnp.float32)
+        af_blk = jnp.any(normal, axis=red, keepdims=True).astype(_I32)
 
         @pl.when(kk == 0)
         def _():
@@ -125,24 +127,33 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
                    - (e_acc[:] - _I32(bias)))
             out_ref[:] = jnp.where(af_acc[:] > 0, sft, _I32(0))
 
-    data_spec = pl.BlockSpec((br, bk), lambda i, kk: (i, kk),
-                             memory_space=pltpu.VMEM)
+    if axis == 1:
+        data_spec = pl.BlockSpec((br, bk), lambda i, kk: (i, kk),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((br, 1), lambda i, kk: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((rp, 1), jnp.int32)
+    else:
+        data_spec = pl.BlockSpec((bk, br), lambda i, kk: (kk, i),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, br), lambda i, kk: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((1, rp), jnp.int32)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[data_spec] * len(inputs),
-        out_specs=pl.BlockSpec((br, 1), lambda i, kk: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rp, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((br, 1), jnp.int32),
-                        pltpu.VMEM((br, 1), jnp.float32),
-                        pltpu.VMEM((br, 1), jnp.int32)],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM(stat_shape, jnp.int32),
+                        pltpu.VMEM(stat_shape, jnp.float32),
+                        pltpu.VMEM(stat_shape, jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*inputs)
-    out = out[:rows]
-    return out if axis == 1 else out.T
+    return out[:rows] if axis == 1 else out[:, :rows]
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +161,7 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
 # ---------------------------------------------------------------------------
 
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=(256, 1024)):
+                         moduli_idx=None, block=(32, 1024)):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
     (1,k) for axis=0). Returns (L, m, k) int8."""
@@ -238,7 +249,7 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind):
 
 
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
-                       block=(256, 512)):
+                       block=(64, 128)):
     """Fused mod-reduce + CRT + inverse scaling. c32: (L, m, n) int32 slice
     products; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32 array."""
     L, m, n = c32.shape

@@ -72,3 +72,17 @@ def plan_schedule(m: int, n: int, k: int, num_moduli: int,
     fixed = tables.num_limbs(num_moduli) * _ceil_to(m, 8) * _ceil_to(n, 8) * 4
     chunk = max(1, (budget_bytes - fixed) // max(per_modulus, 1))
     return ModuliSchedule(num_moduli, min(int(chunk), num_moduli))
+
+
+def plan_workspace(gemm_list) -> int:
+    """Peak auxiliary bytes over a list of upcoming GEMMs — the analog of
+    ozIMMU's `reallocate_working_memory(gemm_list)` (ozIMMU_EF/include/
+    ozimmu/ozimmu.hpp:14-100), which sizes one shared buffer for a whole
+    sequence of calls. Entries: (m, n, k, num_moduli) or
+    (m, n, k, num_moduli, compute_type)."""
+    peak = 0
+    for entry in gemm_list:
+        m, n, k, num_moduli = entry[:4]
+        ct = entry[4] if len(entry) > 4 else ComputeType.REAL_DEFAULT
+        peak = max(peak, workspace_bytes(m, n, k, num_moduli, ct))
+    return peak

@@ -67,8 +67,8 @@ def main():
     sft = pk.fast_sft_pallas(A, L, axis=1)
 
     if which in ("all", "encode"):
-        for blk in [(256, 512), (256, 1024), (512, 512), (128, 1024),
-                    (512, 1024), (1024, 512), (256, 2048)]:
+        for blk in [(128, 1024), (128, 512), (64, 1024), (64, 2048),
+                    (128, 2048), (32, 1024), (64, 512)]:
             try:
                 f = jax.jit(lambda x, s, b=blk: pk.encode_slices_pallas(
                     x, s, L, axis=1, block=b))
@@ -80,8 +80,8 @@ def main():
     if which in ("all", "recon"):
         r8 = jnp.asarray(rng.integers(0, 173, (L, n, n), dtype=np.uint8))
         sft_b = sft.T
-        for blk in [(128, 256), (256, 512), (256, 1024), (512, 512),
-                    (128, 1024), (512, 1024)]:
+        for blk in [(128, 256), (64, 256), (64, 512), (128, 128),
+                    (32, 512), (64, 128), (32, 256)]:
             try:
                 f = jax.jit(lambda r, sa, sb, b=blk: pk.reconstruct_pallas(
                     r, sa, sb, L, "f64", block=b))
@@ -93,8 +93,9 @@ def main():
     if which in ("all", "matmul"):
         a8 = jnp.asarray(rng.integers(-128, 128, (L, n, n), dtype=np.int8))
         b8 = jnp.asarray(rng.integers(-128, 128, (L, n, n), dtype=np.int8))
-        for blk in [(1024, 1024, 4096), (1024, 1024, 8192), (512, 512, 8192),
-                    (2048, 2048, 4096), (1024, 2048, 4096)]:
+        for blk in [(512, 512, 8192), (256, 512, 8192), (512, 256, 8192),
+                    (256, 256, 8192), (768, 768, 8192), (512, 768, 8192),
+                    (384, 512, 8192), (512, 512, 4096)]:
             try:
                 f = jax.jit(lambda x, y, b=blk: pm.matmul_mod_u8_pallas(
                     x, y, L, block=b))

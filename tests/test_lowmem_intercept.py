@@ -69,3 +69,40 @@ def test_interception_rule_callback():
     with icept.override_matmuls(rule=rule):
         _ = jnp.matmul(a, b)
     assert calls == [(128, 128, 64)]
+
+
+def test_hijack_control_forced_mode():
+    from gemmul8_tpu import interception as itc
+
+    a = np.random.default_rng(0).random((96, 96)).astype(np.float32)
+    with itc.override_matmuls(num_moduli=8):
+        itc.set_compute_mode("native")
+        _ = jnp.matmul(jnp.asarray(a), jnp.asarray(a))
+        assert itc.get_last_func_name().endswith("->native")
+        itc.set_compute_mode("emulate")
+        _ = jnp.matmul(jnp.asarray(a), jnp.asarray(a))
+        assert itc.get_last_func_name().endswith("->emulate")
+        itc.unset_compute_mode()
+
+
+def test_plan_workspace_list():
+    from gemmul8_tpu.planner import plan_workspace, workspace_bytes
+
+    lst = [(256, 256, 256, 8), (1024, 1024, 1024, 14)]
+    assert plan_workspace(lst) == workspace_bytes(1024, 1024, 1024, 14)
+
+
+def test_ozimmu_auto_split():
+    from gemmul8_tpu.baselines import ozimmu
+    from gemmul8_tpu.types import f64_to_bits
+
+    rng = np.random.default_rng(3)
+    # narrow dynamic range -> small split count suffices at high threshold
+    a = f64_to_bits(rng.random((64, 64)) + 0.5)
+    s_easy = ozimmu.auto_num_split(a, a, threshold=20.0)
+    # wide dynamic range -> needs more slices
+    w = (rng.random((64, 64)) - 0.5) * np.exp(rng.standard_normal((64, 64)) * 8)
+    b = f64_to_bits(w)
+    s_hard = ozimmu.auto_num_split(b, b, threshold=1.0)
+    assert s_easy <= s_hard
+    assert 3 <= s_easy <= 16 and 3 <= s_hard <= 16
