@@ -121,6 +121,58 @@ def _dropped_bits_nonzero(chunks: Sequence[jax.Array], u: jax.Array):
     return sticky
 
 
+def _shifted_value_words(chunks, q, mant_bits: int, q_max_static: int):
+    """Packed uint32 words of v = trunc(mant * 2^q), elementwise.
+
+    q < 0 truncates (right shift); 0 <= q <= q_max_static scales up (left
+    shift). The word count covers mant_bits + 1 + q_max_static bits so the
+    left shift is exact — this replaces the old per-modulus power-of-two
+    ladder (an extra modular reduction per modulus) with a handful of
+    shared shift ops."""
+    _U = jnp.uint32
+    if len(chunks) == 2:
+        words = [chunks[0].astype(_U) | (chunks[1].astype(_U) << 16)]
+    else:
+        words = [chunks[0].astype(_U) | (chunks[1].astype(_U) << 16),
+                 chunks[2].astype(_U) | (chunks[3].astype(_U) << 16)]
+    # right shift by ur in [0, 63]
+    ur = jnp.clip(-q, 0, 63)
+    u1 = jnp.minimum(ur, 31).astype(_U)
+    if len(words) == 1:
+        rw = [jnp.where(ur <= 31, words[0] >> u1, _U(0))]
+    else:
+        lo, hi = words
+        lo_sh = (lo >> u1) | ((hi << (_U(31) - u1)) << 1)
+        hi_sh = hi >> u1
+        u2 = jnp.clip(ur - 32, 0, 31).astype(_U)
+        rw = [jnp.where(ur < 32, lo_sh, hi >> u2),
+              jnp.where(ur < 32, hi_sh, _U(0))]
+    if q_max_static <= 0:
+        return rw
+    # left shift by ql in [0, q_max_static], q_max_static < 64 (f64 tops
+    # out at T-1-52 = 26 for 20 moduli; f32 at T-1-23 = 50 for 19 moduli):
+    # dynamic word-level shift (0 or 1 words) + in-word bit shift.
+    assert q_max_static < 64
+    nw_out = (mant_bits + 1 + q_max_static + 31) // 32
+    ql = jnp.clip(q, 0, q_max_static)
+    wsh = ql >> 5           # 0 or 1 whole words
+    b = (ql & 31).astype(_U)
+    zero = jnp.zeros_like(rw[0])
+    padded = [zero, zero] + rw + [zero] * max(nw_out - len(rw), 0)
+
+    def at(i):  # padded index of logical input word i (i may be < 0)
+        return padded[i + 2]
+
+    out = []
+    for i in range(nw_out):
+        lo0, hi0 = at(i), at(i - 1)        # wsh == 0 sources
+        lo1, hi1 = at(i - 1), at(i - 2)    # wsh == 1 sources
+        lo = jnp.where(wsh == 0, lo0, lo1)
+        hi = jnp.where(wsh == 0, hi0, hi1)
+        out.append((lo << b) | ((hi >> (_U(31) - b)) >> 1))
+    return out
+
+
 def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
                           q_max_static: int):
     """Centered residues of sign * (chunked mant) * 2^q for each modulus in
@@ -128,10 +180,18 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
     low-memory moduli-chunked schedule is active).
 
     q may be negative (right shift / truncation) or positive up to
-    q_max_static (pure magnitude scaling, handled modularly)."""
-    u = jnp.clip(-q, 0, 63)
-    d = _funnel_shift_right(chunks, u)
-    qp = jnp.clip(q, 0, max(q_max_static, 0)) if q_max_static > 0 else None
+    q_max_static (pure magnitude scaling, folded into the shared shift)."""
+    mant_bits = 53 if len(chunks) == 4 else 24
+    words = _shifted_value_words(chunks, q, mant_bits, q_max_static)
+    d = []
+    for w in words:
+        d.append((w & jnp.uint32(0xFFFF)).astype(_I32))
+        d.append((w >> 16).astype(_I32))
+    # drop statically-zero top chunks
+    total_bits = mant_bits + 1 + max(q_max_static, 0)
+    d = d[: (total_bits + 15) // 16]
+    # acc bound: nc * 255 * 65535 -> <= 4 chunks fit 2^26, 5-6 chunks 2^27
+    bound = 26 if len(d) <= 4 else 27
     neg = (sign == 1)
 
     out = []
@@ -142,27 +202,7 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
             p = (1 << (16 * i)) % m
             if p != 0:
                 acc = acc + di * _I32(p)
-        base = mod_u26(acc, m)
-        if q_max_static > 0:
-            # multiply in 2^qp mod m via bit-decomposition selects; defer
-            # modular reduction while the running bound stays below 2^26
-            # (f <= 2^15 after the 8-bit stage, so base*f <= 255*2^15).
-            f = jnp.where((qp & 1) != 0, _I32(2), _I32(1))
-            if q_max_static >= 2:
-                f = f * jnp.where((qp & 2) != 0, _I32(4), _I32(1))
-            if q_max_static >= 4:
-                f = f * jnp.where((qp & 4) != 0, _I32(16), _I32(1))
-            if q_max_static >= 8:
-                f = f * jnp.where((qp & 8) != 0, _I32(256 % m), _I32(1))
-            if q_max_static >= 16:
-                f = mod_u26(f, m) if q_max_static >= 8 else f
-                f = f * jnp.where((qp & 16) != 0, _I32((1 << 16) % m),
-                                  _I32(1))
-            if q_max_static >= 32:
-                f = mod_u26(f, m)
-                f = f * jnp.where((qp & 32) != 0, _I32((1 << 32) % m),
-                                  _I32(1))
-            base = mod_u26(base * f, m)
+        base = mod_u26(acc, m, bound)
         # apply sign: residue of -x is (m - r) mod m
         r = jnp.where(neg & (base > 0), _I32(m) - base, base)
         # center into [-128, 127]

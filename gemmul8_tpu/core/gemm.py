@@ -114,6 +114,11 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
 
             a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
             b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
+            # uint8-residue epilogue + separate reconstruct measured faster
+            # than the fully-fused CRT-limb matmul (matmul_crt_pallas):
+            # the limb epilogue does not hide behind the MXU and its int32
+            # limb tensor doubles the write traffic (15.7 vs 14.0 TFLOP/s
+            # at 8192^3); keep the residue pipeline as the default
             r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
             return pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
                                          out_dtype)

@@ -152,6 +152,61 @@ def shift_right(limbs: Sequence[jax.Array], u: jax.Array,
     return out
 
 
+def shift_right_round(limbs: Sequence[jax.Array], u: jax.Array,
+                      n_out: int):
+    """shift_right plus the IEEE rounding inputs in one packed pass:
+    returns (shifted n_out limbs, round_bit, sticky) where round_bit is
+    bit (u-1) of the value (0 when u == 0) and sticky is whether any bit
+    below (u-1) is set. Shares the word packing the three separate calls
+    (shift_right, a 1-limb shift for the round bit, dropped_nonzero)
+    would each redo."""
+    n = len(limbs)
+    _U = jnp.uint32
+    nw = (n + 1) // 2
+    words = []
+    for i in range(nw):
+        w = limbs[2 * i].astype(_U)
+        if 2 * i + 1 < n:
+            w = w | (limbs[2 * i + 1].astype(_U) << 16)
+        words.append(w)
+    nw_out = (n_out + 1) // 2
+    max_ws = (16 * (n + 1)) // 32 + 1
+    ws = u >> 5
+    b = (u & _I32(31)).astype(_U)
+    zero = jnp.zeros_like(words[0])
+    padded = words + [zero] * (max_ws + nw_out + 2)
+    out_words = []
+    for i in range(nw_out):
+        sw = padded[i]
+        sw1 = padded[i + 1]
+        for wv in range(1, max_ws + 1):
+            sw = jnp.where(ws == wv, padded[i + wv], sw)
+            sw1 = jnp.where(ws == wv, padded[i + wv + 1], sw1)
+        out_words.append((sw >> b) | ((sw1 << (_U(31) - b)) << 1))
+    out = []
+    for j in range(n_out):
+        w = out_words[j // 2]
+        w = (w >> 16) if (j % 2) else w
+        out.append(w.astype(_I32) & _I32(_MASK))
+    # round bit: bit (u-1); select its word, then its bit
+    up = jnp.maximum(u - 1, 0)
+    wsp = up >> 5
+    bp = (up & _I32(31)).astype(_U)
+    rw = padded[0]
+    for wv in range(1, max_ws + 1):
+        rw = jnp.where(wsp == wv, padded[wv], rw)
+    rbit = jnp.where(u > 0, ((rw >> bp) & _U(1)).astype(_I32), _I32(0))
+    # sticky: any of the low (u-1) bits
+    sticky = jnp.zeros(limbs[0].shape, jnp.bool_)
+    for i, w in enumerate(words):
+        nbits = jnp.clip(up - 32 * i, 0, 32)
+        full = nbits >= 32
+        mask = jnp.where(full, _U(0xFFFFFFFF),
+                         (_U(1) << nbits.astype(_U)) - _U(1))
+        sticky = sticky | ((w & mask) != 0)
+    return out, rbit, sticky
+
+
 def shift_left(limbs: Sequence[jax.Array], v: jax.Array,
                n_out: int) -> List[jax.Array]:
     """Dynamic left shift by v (0 <= v <= 16*n_out), keeping n_out limbs."""

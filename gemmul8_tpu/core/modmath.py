@@ -15,15 +15,26 @@ import jax.numpy as jnp
 _I32 = jnp.int32
 
 
-def mod_u26(x, m: int):
-    """x mod m for 0 <= x < 2^26, 2 <= m <= 256. Exact.
+def mod_u26(x, m: int, bound_bits: int = 26):
+    """x mod m for 0 <= x < 2^bound_bits (<= 28), 2 <= m <= 256. Exact.
 
-    f32(x) abs error <= 2, (1/m) rel error <= 2^-24 -> quotient estimate
-    error < 0.07; biased down 0.25 the floor lies in {q-1, q}: one fixup."""
+    bound_bits <= 26: f32(x) abs error <= 2, (1/m) rel error <= 2^-24 ->
+    quotient estimate error < 0.07; biased down 0.25 the floor lies in
+    {q-1, q}: one fixup. bound_bits 27/28: f32(x) abs error <= 8/16 and
+    x/m * 2^-24 < 1.0 -> bias 1.0, estimate in {q-2..q}: two fixups."""
+    if bound_bits <= 26:
+        q = (x.astype(jnp.float32) * jnp.float32(1.0 / m)
+             - jnp.float32(0.25)).astype(_I32)
+        r = x - q * _I32(m)
+        r = r - jnp.where(r >= _I32(m), _I32(m), _I32(0))
+        return r
+    assert bound_bits <= 28
     q = (x.astype(jnp.float32) * jnp.float32(1.0 / m)
-         - jnp.float32(0.25)).astype(_I32)
+         - jnp.float32(1.0)).astype(_I32)
+    q = jnp.maximum(q, 0)
     r = x - q * _I32(m)
-    r = r - jnp.where(r >= _I32(m), _I32(m), _I32(0))
+    for s in (2, 1):
+        r = r - jnp.where(r >= _I32(s * m), _I32(s * m), _I32(0))
     return r
 
 

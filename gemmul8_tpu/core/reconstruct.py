@@ -130,12 +130,8 @@ def _round_to_float(mag, neg, e_fix, mant_bits: int):
     # extension when eb <= 0.
     sr = p - _I32(mant_bits - 1) + jnp.maximum(0, 1 - eb)
     u = jnp.clip(sr, 0, 16 * (len(mag) + 1))
-    sh = lb.shift_right(mag, u, n_mant_chunks + 1)
-    # round bit = bit (u-1); sticky = bits below (u-1)
-    rb_pos = jnp.maximum(u - 1, 0)
-    rbit_limbs = lb.shift_right(mag, rb_pos, 1)
-    rbit = jnp.where(u > 0, rbit_limbs[0] & _I32(1), _I32(0))
-    sticky = (u > 1) & lb.dropped_nonzero(mag, rb_pos)
+    sh, rbit, sticky = lb.shift_right_round(mag, u, n_mant_chunks + 1)
+    sticky = (u > 1) & sticky
     # left shift when sr < 0 (value has fewer bits than the mantissa)
     v = jnp.clip(-sr, 0, 16 * n_mant_chunks)
     left = lb.shift_left(mag[: n_mant_chunks + 1], v, n_mant_chunks + 1)

@@ -161,7 +161,7 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
 # ---------------------------------------------------------------------------
 
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=(32, 1024)):
+                         moduli_idx=None, block=(64, 512)):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
     (1,k) for axis=0). Returns (L, m, k) int8."""
@@ -225,7 +225,19 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
 # all fused.
 # ---------------------------------------------------------------------------
 
-def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind):
+def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
+    if input_kind == "limbs":
+        # canonical 16-bit limbs of the weighted CRT sum, straight from the
+        # fused matmul epilogue (matmul_crt_pallas) — skip accumulation
+        x = [c32[i] for i in range(c32.shape[0])]
+        e_fix = -(sft_a + sft_b)
+        mag, negf = rec._mod_m_centered(x, num_moduli)
+        if out_kind == "f64":
+            eb, mant = rec._round_to_float(mag, negf, e_fix, 53)
+            out = rec._assemble_f64(negf, eb, mant)
+            return out.hi, out.lo
+        eb, mant = rec._round_to_float(mag, negf, e_fix, 24)
+        return (rec._assemble_f32(negf, eb, mant),)
     if c32.dtype == jnp.uint8:
         # canonical residues from the fused-matmul epilogue
         r = [c32[j].astype(_I32) for j in range(num_moduli)]
@@ -249,9 +261,10 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind):
 
 
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
-                       block=(64, 128)):
+                       block=(32, 256), input_kind: str = "residues"):
     """Fused mod-reduce + CRT + inverse scaling. c32: (L, m, n) int32 slice
-    products; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32 array."""
+    products / uint8 residues, or (num_limbs, m, n) canonical limbs when
+    input_kind="limbs"; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32."""
     L, m, n = c32.shape
     bm, bn = block
     mp, np_ = _ceil_to(m, bm), _ceil_to(n, bn)
@@ -271,7 +284,7 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
     if out_kind == "f64":
         def kern(c_ref, sa_ref, sb_ref, hi_ref, lo_ref):
             hi, lo = _rec_body(c_ref[:], sa_ref[:], sb_ref[:], num_moduli,
-                               "f64")
+                               "f64", input_kind)
             hi_ref[:] = hi
             lo_ref[:] = lo
 
@@ -288,7 +301,7 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
 
     def kern32(c_ref, sa_ref, sb_ref, o_ref):
         (o_ref[:],) = _rec_body(c_ref[:], sa_ref[:], sb_ref[:], num_moduli,
-                                "f32")
+                                "f32", input_kind)
 
     o = pl.pallas_call(
         kern32, grid=grid, in_specs=in_specs, out_specs=tile_spec,

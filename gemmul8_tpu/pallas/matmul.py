@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -175,4 +176,108 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
             transcendentals=0),
         interpret=_interpret(),
     )(mods, recips, a8p, b8p)
+    return out[:, :m, :n]
+
+
+def matmul_crt_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
+                      block=(512, 512, 8192)) -> jax.Array:
+    """Batched int8 matmul with the FULL per-modulus epilogue fused:
+    Barrett residue + CRT-weight scaling + limb accumulation across the
+    moduli axis. Emits (num_limbs, m, n) int32 canonical 16-bit limbs of
+    X = sum_j w_j * (C_j mod m_j) — the quantity reconstruct's
+    accumulate_weighted would otherwise rebuild from a (L, m, n) residue
+    tensor (one extra HBM round trip + the accumulation on the critical
+    path; here it hides behind the MXU).
+
+    Grid is (i, j, l, kk) with the output block revisited across l and kk,
+    so the limb accumulator never leaves VMEM until every modulus has
+    contributed. Limb partial sums stay < L*255*65535 < 2^28: safe in
+    int32; one carry pass canonicalizes at the last modulus.
+    """
+    from .. import tables as _t
+
+    L, m, k = a8.shape
+    _, _, n = b8.shape
+    assert L == num_moduli
+    nl = _t.num_limbs(num_moduli)
+    bm, bn, bk = block
+    bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
+        min(bk, _ceil_to(k, 128))
+    mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
+    a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
+    b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
+    grid = (mp // bm, np_ // bn, L, kp // bk)
+    mods = jnp.asarray(_t.MODULI[:L], jnp.int32)
+    recips = jnp.asarray([1.0 / m for m in _t.MODULI[:L]], jnp.float32)
+    weights = jnp.asarray(_t.crt_weight_limbs(num_moduli), jnp.int32)  # (L, nl)
+
+    def kern(mods_ref, recips_ref, w_ref, a_ref, b_ref, o_ref, acc_ref):
+        kk = pl.program_id(3)
+        klast = pl.num_programs(3) - 1
+        l = pl.program_id(2)
+        llast = pl.num_programs(2) - 1
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+        @pl.when((l == 0) & (kk == 0))
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        @pl.when(kk == klast)
+        def _():
+            mj = mods_ref[l]
+            rj = recips_ref[l]
+            x = acc_ref[:]
+            q = jnp.floor(x.astype(jnp.float32) * rj
+                          - jnp.float32(8.0)).astype(_I32)
+            r = x - q * mj
+            for s in (8, 4, 2, 1):
+                r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+            for lw in range(o_ref.shape[0]):
+                o_ref[lw] += r * w_ref[l, lw]
+
+            @pl.when(l == llast)
+            def _():
+                c = jnp.zeros_like(r)
+                for lw in range(o_ref.shape[0]):
+                    t = o_ref[lw] + c
+                    o_ref[lw] = t & _I32(0xFFFF)
+                    c = t >> 16
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, bk),
+                         lambda i, j, l, kk, *refs: (l, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn),
+                         lambda i, j, l, kk, *refs: (l, kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nl, bm, bn),
+                               lambda i, j, l, kk, *refs: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nl, mp, np_), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * mp * np_ * kp,
+            bytes_accessed=L * (mp * kp + kp * np_) + nl * mp * np_ * 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(mods, recips, weights, a8p, b8p)
     return out[:, :m, :n]

@@ -97,3 +97,25 @@ def test_gemm_core_pallas_end_to_end(L):
     got = gg.gemm_core(A, B, L, True, "f64", use_pallas=True)
     assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
     assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+
+
+@pytest.mark.parametrize("L", [8, 14])
+def test_matmul_crt_limbs_parity(L):
+    """Fused CRT-limb matmul == mod_reduce + accumulate_weighted, and the
+    limb-input reconstruct closes the loop bit-exactly."""
+    rng = np.random.default_rng(9)
+    a8 = jnp.asarray(rng.integers(-128, 128, (L, 48, 136), dtype=np.int8))
+    b8 = jnp.asarray(rng.integers(-128, 128, (L, 136, 72), dtype=np.int8))
+    c32 = sg.slice_products(a8, b8)
+    r = sg.mod_reduce(c32, L)
+    ref = rec.accumulate_weighted(r, L)
+    got = pm.matmul_crt_pallas(a8, b8, L, block=(128, 128, 128))
+    for i, refl in enumerate(ref):
+        assert np.array_equal(np.asarray(refl), np.asarray(got[i])), i
+    sft_a = jnp.zeros((48, 1), jnp.int32)
+    sft_b = jnp.zeros((1, 72), jnp.int32)
+    want = rec.reconstruct(r, sft_a, sft_b, L, "f64")
+    have = pk.reconstruct_pallas(got, sft_a, sft_b, L, "f64",
+                                 block=(16, 72), input_kind="limbs")
+    assert np.array_equal(np.asarray(want.hi), np.asarray(have.hi))
+    assert np.array_equal(np.asarray(want.lo), np.asarray(have.lo))
