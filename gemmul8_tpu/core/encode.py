@@ -26,8 +26,11 @@ extra int8 GEMM |A|*|B| gives a true per-output product-magnitude bound;
 shifts are then sft = sft7 + floor(-0.51*log2(rowmax S) + T') with
 T' = floor(log2(M-1)/2 - 0.5) (cf. scaling.hpp:1502-1526, 3053-3136).
 
-Subnormal inputs are flushed to zero (documented deviation; the reference
-handles them via ilogb/scalbn).
+Subnormal inputs are handled exactly (exp_eff = 1, no implicit bit — same
+value decomposition IEEE-754 defines; the reference reaches the same effect
+through ilogb/scalbn). In the statistics pass a subnormal's magnitude is
+rounded UP to the normal form with the same mantissa bits, which keeps the
+norm-based shift bound conservative.
 """
 
 from __future__ import annotations
@@ -54,30 +57,43 @@ _I32 = jnp.int32
 # ---------------------------------------------------------------------------
 
 def _f64_fields(hi: jax.Array, lo: jax.Array):
+    """Bit fields of an f64 array: (chunks, exp_eff, sign, nonzero).
+
+    value = sign * mant53 * 2^(exp_eff - 1075) with mant53 = sum of 16-bit
+    chunks — exact for normals AND subnormals (subnormals keep exp_eff = 1
+    and no implicit bit, per IEEE-754; the reference handles them via
+    ilogb/scalbn, scaling.hpp). Inf/NaN inputs are undefined behavior,
+    like the reference's."""
     hi = hi.astype(_U32)
     lo = lo.astype(_U32)
     exp = ((hi >> 20) & _U32(0x7FF)).astype(_I32)       # biased exponent
     sign = (hi >> 31).astype(_I32)
-    normal = exp > 0                                     # FTZ for subnormals
+    is_normal = exp > 0
+    nonzero = is_normal | (((hi & _U32(0xFFFFF)) | lo) != 0)
     c0 = (lo & _U32(0xFFFF)).astype(_I32)
     c1 = (lo >> 16).astype(_I32)
     c2 = (hi & _U32(0xFFFF)).astype(_I32)
-    c3 = ((hi >> 16) & _U32(0xF)).astype(_I32) | jnp.where(normal, _I32(0x10), _I32(0))
+    c3 = ((hi >> 16) & _U32(0xF)).astype(_I32) | jnp.where(is_normal,
+                                                           _I32(0x10), _I32(0))
     chunks = [c0, c1, c2, c3]
-    # value = sign * mant53 * 2^(exp - 1075), mant53 = sum chunks[i] << 16i
-    return chunks, exp, sign, normal
+    exp_eff = jnp.maximum(exp, _I32(1))
+    return chunks, exp_eff, sign, nonzero
 
 
 def _f32_fields(bits: jax.Array):
+    """f32 analog of _f64_fields: value = sign * mant24 * 2^(exp_eff - 150),
+    subnormal-exact (exp_eff = 1, no implicit bit)."""
     b = bits.astype(_U32)
     exp = ((b >> 23) & _U32(0xFF)).astype(_I32)
     sign = (b >> 31).astype(_I32)
-    normal = exp > 0
+    is_normal = exp > 0
+    nonzero = is_normal | ((b & _U32(0x7FFFFF)) != 0)
     c0 = (b & _U32(0xFFFF)).astype(_I32)
-    c1 = ((b >> 16) & _U32(0x7F)).astype(_I32) | jnp.where(normal, _I32(0x80), _I32(0))
+    c1 = ((b >> 16) & _U32(0x7F)).astype(_I32) | jnp.where(is_normal,
+                                                           _I32(0x80), _I32(0))
     chunks = [c0, c1]
-    # value = sign * mant24 * 2^(exp - 150)
-    return chunks, exp, sign, normal
+    exp_eff = jnp.maximum(exp, _I32(1))
+    return chunks, exp_eff, sign, nonzero
 
 
 def _funnel_shift_right(chunks: Sequence[jax.Array], u: jax.Array):

@@ -114,6 +114,23 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
     recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
                          jnp.float32)
+    # Barrett fixup count from the STATIC accumulator bound |x| <= 2^7*2^7*k:
+    # quotient error <= ulp(xmax)/m_min + xmax/(m_min*2^24) + eps. One
+    # conditional subtract per doubling of the error interval.
+    xmax = 127.0 * 128.0 * kp
+    m_min = min(int(tables.MODULI[j]) for j in moduli_idx)
+    qerr = (2.0 ** (max(int(np.ceil(np.log2(xmax))) - 24, 0)) / m_min
+            + xmax / m_min / 2 ** 24 + 2.0 ** -10)
+    bias = float(np.ceil(qerr * 8) / 8)
+    # q in [t - ceil(2*bias), t]: remove up to `need` extra multiples of m
+    # with descending power-of-two conditional subtracts (covers 2^(j+1)-1)
+    need = int(np.ceil(2 * bias))
+    fix_steps = []
+    sfx = 1
+    while sfx <= need:
+        fix_steps.append(sfx)
+        sfx *= 2
+    fix_steps = tuple(reversed(fix_steps))
 
     def kern(mods_ref, recips_ref, a_ref, b_ref, o_ref, acc_ref):
         kk = pl.program_id(3)
@@ -133,12 +150,13 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
             mj = mods_ref[l]
             rj = recips_ref[l]
             x = acc_ref[:]
-            # float-estimate Barrett with dynamic modulus (m >= 173):
-            # q error < 7, biased down 8 -> r in [0, 16m): four fixups
+            # float-estimate Barrett with dynamic modulus (m >= 173),
+            # biased down so the estimate never overshoots; fixups sized
+            # from the static bound above (1 subtract at k = 8192)
             q = jnp.floor(x.astype(jnp.float32) * rj
-                          - jnp.float32(8.0)).astype(_I32)
+                          - jnp.float32(bias)).astype(_I32)
             r = x - q * mj
-            for s in (8, 4, 2, 1):
+            for s in fix_steps:
                 r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
             # modulus 256: the Barrett path handles it too (exact), but the
             # canonical residue may be 128..255 — uint8 output holds it.

@@ -105,3 +105,28 @@ def test_mag7_roundup_bound():
         assert np.all(mag[i] >= scaled - 1e-9)
         assert np.all(mag[i] <= np.ceil(scaled) + 1e-9)
         assert np.all(mag[i] <= 64)
+
+
+def test_subnormal_inputs_exact():
+    """Subnormal inputs (and subnormal outputs) round correctly: bit-exact
+    vs the exact rational product rounded once to f64."""
+    from fractions import Fraction
+
+    import gemmul8_tpu as g8
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((12, 24)) - 0.5) * 1e-160
+    b = (rng.random((24, 10)) - 0.5) * 1e-160
+    a[0, :] = rng.random(24) * 4.9e-324 * rng.integers(
+        1, 1 << 40, 24).astype(float)
+    m, k = a.shape
+    n = b.shape[1]
+    ref = np.zeros((m, n))
+    af = [[Fraction(x) for x in row] for row in a]
+    bf = [[Fraction(x) for x in row] for row in b]
+    for i in range(m):
+        for j in range(n):
+            ref[i, j] = float(sum(af[i][t] * bf[t][j] for t in range(k)))
+    for L in (16, 20):
+        c = np.asarray(g8.gemm(a, b, num_moduli=L))
+        assert np.array_equal(c.view(np.uint64), ref.view(np.uint64))
