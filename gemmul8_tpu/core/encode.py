@@ -213,6 +213,15 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
     out = []
     for j in moduli_idx:
         m = int(tables.MODULI[j])
+        if m == 256:
+            # two's-complement wraparound: the centered residue mod 256 is
+            # the sign-extended low byte of the signed value
+            lob = d[0] & _I32(0xFF)
+            sv = jnp.where(neg, (_I32(256) - lob) & _I32(0xFF), lob)
+            rc = (sv ^ _I32(0x80)) - _I32(0x80)
+            rc = jnp.where(normal, rc, _I32(0))
+            out.append(rc.astype(jnp.int8))
+            continue
         acc = jnp.zeros_like(d[0])
         for i, di in enumerate(d):
             p = (1 << (16 * i)) % m
@@ -452,3 +461,33 @@ def encode_accurate_complex(re, im, sft, num_moduli: int):
         for chunks, exp, sign, normal in parts
     ]
     return outs[0], outs[1]
+
+
+def sft_from_stats(emax, nrm2, anyfinite, k_total: int, num_moduli: int,
+                   mant_bits: int):
+    """Fast-mode shift from (possibly cross-shard-combined) raw statistics:
+    emax = max biased exponent, nrm2 = squared norm relative to 2^emax,
+    anyfinite = any nonzero flag, k_total = GLOBAL contraction length (the
+    round-up guard must cover the full sum even when stats were combined
+    over shards)."""
+    t_f = tables.threshold_fast(num_moduli)
+    bias = 1023 if mant_bits == 53 else 127
+    nrm2 = jnp.maximum(nrm2 * jnp.float32(1.0 + k_total * 2.0 ** -23),
+                       jnp.float32(1.0))
+    lgn = jnp.log2(nrm2)
+    sft = (jnp.minimum(_I32(t_f - 1),
+                       jnp.floor(-0.51 * lgn + t_f).astype(_I32))
+           - (emax - _I32(bias)))
+    return jnp.where(anyfinite > 0, sft, _I32(0))
+
+
+def combine_stats(emax, nrm2, anyfinite, axis_name):
+    """Merge shard-local fast-mode stats over a mesh axis: pmax on the
+    exponent, psum of norms rescaled to the global max exponent (exact
+    powers of two), OR on the finite flag."""
+    emax_g = jax.lax.pmax(emax, axis_name)
+    nrm2_g = jax.lax.psum(
+        nrm2 * jnp.exp2((2 * (emax - emax_g)).astype(jnp.float32)),
+        axis_name)
+    af_g = jax.lax.psum(anyfinite.astype(_I32), axis_name)
+    return emax_g, nrm2_g, af_g

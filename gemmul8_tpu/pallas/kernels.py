@@ -49,9 +49,15 @@ def _interpret() -> bool:
 # pass to HBM — measured 50 ms at 8192^2 f64 vs ~3 ms for this kernel.)
 # ---------------------------------------------------------------------------
 
-def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
+def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048),
+                    return_stats: bool = False):
     """Fast-mode ('vecnorm') shift selection. x: F64Bits or f32 array (2D).
     axis=1: per-row shifts (m,1); axis=0: per-column shifts (1,k).
+
+    return_stats=True returns the raw (emax, nrm2, anyfinite) triplet
+    instead of the shift — the distributed path combines shard-local stats
+    over the k-sharded mesh axis (pmax / rescaled psum) before computing
+    one globally-consistent shift (see parallel.distributed).
 
     Online rescaling: block-local squared norms are kept relative to the
     running max exponent and rescaled by exact powers of two when a new
@@ -88,7 +94,12 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
         inputs = (prep(bits),)
 
     def kern(*refs):
-        *in_refs, out_ref, e_acc, s_acc, af_acc = refs
+        in_refs = refs[:len(inputs)]
+        if return_stats:
+            out_ref = refs[len(inputs):len(inputs) + 3]
+        else:
+            out_ref = refs[len(inputs)]
+        e_acc, s_acc, af_acc = refs[-3:]
         kk = pl.program_id(1)
         klast = pl.num_programs(1) - 1
         if is64:
@@ -119,13 +130,19 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
 
         @pl.when(kk == klast)
         def _():
-            nrm2 = jnp.maximum(s_acc[:] * jnp.float32(1.0 + kdim * 2.0**-23),
-                               jnp.float32(1.0))
-            lgn = jnp.log2(nrm2)
-            sft = (jnp.minimum(_I32(t_f - 1),
-                               jnp.floor(-0.51 * lgn + t_f).astype(_I32))
-                   - (e_acc[:] - _I32(bias)))
-            out_ref[:] = jnp.where(af_acc[:] > 0, sft, _I32(0))
+            if return_stats:
+                out_ref[0][:] = e_acc[:]
+                out_ref[1][:] = s_acc[:]
+                out_ref[2][:] = af_acc[:]
+            else:
+                nrm2 = jnp.maximum(
+                    s_acc[:] * jnp.float32(1.0 + kdim * 2.0**-23),
+                    jnp.float32(1.0))
+                lgn = jnp.log2(nrm2)
+                sft = (jnp.minimum(_I32(t_f - 1),
+                                   jnp.floor(-0.51 * lgn + t_f).astype(_I32))
+                       - (e_acc[:] - _I32(bias)))
+                out_ref[:] = jnp.where(af_acc[:] > 0, sft, _I32(0))
 
     if axis == 1:
         data_spec = pl.BlockSpec((br, bk), lambda i, kk: (i, kk),
@@ -139,12 +156,21 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
         out_spec = pl.BlockSpec((1, br), lambda i, kk: (0, i),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((1, rp), jnp.int32)
+    if return_stats:
+        oshape = out_shape.shape
+        out_specs = (out_spec, out_spec, out_spec)
+        out_shapes = (jax.ShapeDtypeStruct(oshape, jnp.int32),
+                      jax.ShapeDtypeStruct(oshape, jnp.float32),
+                      jax.ShapeDtypeStruct(oshape, jnp.int32))
+    else:
+        out_specs = out_spec
+        out_shapes = out_shape
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[data_spec] * len(inputs),
-        out_specs=out_spec,
-        out_shape=out_shape,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM(stat_shape, jnp.int32),
                         pltpu.VMEM(stat_shape, jnp.float32),
                         pltpu.VMEM(stat_shape, jnp.int32)],
@@ -153,7 +179,11 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048)):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*inputs)
-    return out[:rows] if axis == 1 else out[:, :rows]
+    def trim(o):
+        return o[:rows] if axis == 1 else o[:, :rows]
+    if return_stats:
+        return tuple(trim(o) for o in out)
+    return trim(out)
 
 
 # ---------------------------------------------------------------------------

@@ -54,17 +54,35 @@ def make_mesh(n_devices: Optional[int] = None, shape=None,
     return jax.make_mesh(shape, axis_names, devices=devs[:shape[0] * shape[1]])
 
 
-def _encode_local(x, num_moduli, axis, axis_name):
+def _encode_local(x, num_moduli, axis, axis_name, use_pallas=False,
+                  n_shards: int = 1):
+    if use_pallas:
+        # Pallas kernels per shard: raw stats, combined exactly over the
+        # k-sharded axis (pmax / power-of-two-rescaled psum) so every shard
+        # picks the same globally-valid shift, then the fused encode kernel.
+        from ..pallas import kernels as pk
+
+        mant_bits = 53 if isinstance(x, F64Bits) else 24
+        k_total = x.shape[axis] * n_shards
+        emax, nrm2, af = pk.fast_sft_pallas(x, num_moduli, axis,
+                                            return_stats=True)
+        emax, nrm2, af = enc.combine_stats(emax, nrm2, af, axis_name)
+        sft = enc.sft_from_stats(emax, nrm2, af, k_total, num_moduli,
+                                 mant_bits)
+        return pk.encode_slices_pallas(x, sft, num_moduli, axis), sft
     if isinstance(x, F64Bits):
         return enc.encode_fast_f64(x, num_moduli, axis, axis_name)
     return enc.encode_fast_f32(x, num_moduli, axis, axis_name)
 
 
-def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int):
+def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int,
+                  use_pallas: bool = False):
     """Per-shard body (inside shard_map). a: local (m/x, k/y); b: local
     (k/y, n). Returns local C tile (m/x, n/y)."""
-    a8, sft_a = _encode_local(a, num_moduli, axis=1, axis_name="y")
-    b8, sft_b = _encode_local(b, num_moduli, axis=0, axis_name="y")
+    a8, sft_a = _encode_local(a, num_moduli, axis=1, axis_name="y",
+                              use_pallas=use_pallas, n_shards=ny)
+    b8, sft_b = _encode_local(b, num_moduli, axis=0, axis_name="y",
+                              use_pallas=use_pallas, n_shards=ny)
     c32_partial = sg.slice_products(a8, b8)          # (L, m/x, n) int32
     # exact integer reduce-scatter over the k axis, scattering n
     c32 = jax.lax.psum_scatter(c32_partial, "y", scatter_dimension=2,
@@ -80,7 +98,7 @@ def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int):
 
 @lru_cache(maxsize=None)
 def _build_sharded(mesh_key, num_moduli: int, out_kind: str, is_f64_a: bool,
-                   is_f64_b: bool):
+                   is_f64_b: bool, use_pallas: bool = False):
     mesh = _MESHES[mesh_key]
     ny = mesh.shape["y"]
     a_spec = F64Bits(P("x", "y"), P("x", "y")) if is_f64_a else P("x", "y")
@@ -91,7 +109,7 @@ def _build_sharded(mesh_key, num_moduli: int, out_kind: str, is_f64_a: bool,
         out_spec = P("x", "y")
     fn = jax.shard_map(
         partial(_sharded_body, num_moduli=num_moduli, out_kind=out_kind,
-                ny=ny),
+                ny=ny, use_pallas=use_pallas),
         mesh=mesh, in_specs=(a_spec, b_spec), out_specs=out_spec,
         check_vma=False)
     return jax.jit(fn)
@@ -101,7 +119,8 @@ _MESHES: dict = {}
 
 
 def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
-                 out_dtype: Optional[str] = None):
+                 out_dtype: Optional[str] = None,
+                 use_pallas: Optional[bool] = None):
     """Emulated GEMM 2D-sharded over `mesh` (fast mode).
 
     a: (m, k) F64Bits or f32 array; b: (k, n) same. m must divide by
@@ -116,9 +135,11 @@ def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
         raise ValueError(f"shapes ({m},{k},{n}) must divide mesh {nx}x{ny}")
     is64a, is64b = isinstance(a, F64Bits), isinstance(b, F64Bits)
     out_kind = out_dtype or ("f64" if (is64a or is64b) else "f32")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     key = id(mesh)
     _MESHES[key] = mesh
-    fn = _build_sharded(key, num_moduli, out_kind, is64a, is64b)
+    fn = _build_sharded(key, num_moduli, out_kind, is64a, is64b, use_pallas)
     # place operands
     a_sh = jax.device_put(a, _sharding_for(mesh, P("x", "y"), is64a))
     b_sh = jax.device_put(b, _sharding_for(mesh, P("y", None), is64b))

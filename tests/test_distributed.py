@@ -48,3 +48,23 @@ def test_sharded_shape_validation(mesh):
     b = np.zeros((256, 30), np.float32)   # 30 % 4 != 0 -> error
     with pytest.raises(ValueError, match="divide mesh"):
         dist.gemm_sharded(a, b, mesh, num_moduli=4)
+
+
+def test_sharded_pallas_path_bitexact():
+    """The Pallas per-shard path (stats combined across k-shards) matches
+    the jnp shard body bit-for-bit on the virtual mesh."""
+    from gemmul8_tpu.parallel import distributed as dist
+    from gemmul8_tpu.types import f64_to_bits
+
+    mesh = dist.make_mesh(8)
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    m, k, n = 8 * nx, 32 * ny, 8 * ny
+    rng = np.random.default_rng(11)
+    a = (rng.random((m, k)) - 0.5) * np.exp(rng.standard_normal((m, k)) * 2)
+    b = (rng.random((k, n)) - 0.5) * np.exp(rng.standard_normal((k, n)) * 2)
+    ref = dist.gemm_sharded(f64_to_bits(a), f64_to_bits(b), mesh,
+                            num_moduli=12, use_pallas=False)
+    got = dist.gemm_sharded(f64_to_bits(a), f64_to_bits(b), mesh,
+                            num_moduli=12, use_pallas=True)
+    assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+    assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
