@@ -93,7 +93,7 @@ def matmul_int8_pallas(a8: jax.Array, b8: jax.Array,
 
 def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
                          moduli_idx=None,
-                         block=(512, 512, 8192)) -> jax.Array:
+                         block=(1024, 512, 8192)) -> jax.Array:
     """Batched int8 matmul with the Barrett mod-reduce fused into the
     epilogue: emits (L, m, n) uint8 canonical residues (1 byte/elem HBM
     write instead of 4)."""

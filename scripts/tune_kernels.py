@@ -66,6 +66,21 @@ def main():
     A = F64Bits(jnp.asarray(u[..., 1]), jnp.asarray(u[..., 0]))
     sft = pk.fast_sft_pallas(A, L, axis=1)
 
+    if which in ("all", "stats"):
+        for blk in [(256, 2048), (512, 1024), (128, 4096), (512, 2048),
+                    (1024, 1024), (256, 4096)]:
+            try:
+                f = jax.jit(lambda x, b=blk: pk.fast_sft_pallas(
+                    x, L, axis=1, block=b))
+                t, _ = timeit(f, A)
+                g = jax.jit(lambda x, b=blk: pk.fast_sft_pallas(
+                    x, L, axis=0, block=b))
+                t0, _ = timeit(g, A)
+                print(f"stats {blk}: ax1 {t*1e3:6.2f} ms  ax0 {t0*1e3:6.2f} ms",
+                      flush=True)
+            except Exception as e:
+                print(f"stats {blk}: FAIL {str(e)[:80]}", flush=True)
+
     if which in ("all", "encode"):
         for blk in [(128, 1024), (128, 512), (64, 1024), (64, 2048),
                     (128, 2048), (32, 1024), (64, 512)]:
@@ -93,9 +108,9 @@ def main():
     if which in ("all", "matmul"):
         a8 = jnp.asarray(rng.integers(-128, 128, (L, n, n), dtype=np.int8))
         b8 = jnp.asarray(rng.integers(-128, 128, (L, n, n), dtype=np.int8))
-        for blk in [(512, 512, 8192), (256, 512, 8192), (512, 256, 8192),
-                    (256, 256, 8192), (768, 768, 8192), (512, 768, 8192),
-                    (384, 512, 8192), (512, 512, 4096)]:
+        for blk in [(512, 512, 8192), (1024, 512, 8192), (2048, 512, 8192),
+                    (4096, 512, 8192), (2048, 256, 8192), (512, 512, 8192),
+                    (8192, 256, 8192)]:
             try:
                 f = jax.jit(lambda x, y, b=blk: pm.matmul_mod_u8_pallas(
                     x, y, L, block=b))

@@ -71,3 +71,21 @@ def test_complex_exact_at_20():
             for s in STRATS]
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+@pytest.mark.parametrize("strat", STRATS)
+def test_mixed_complex_types(strat):
+    """complex128 x complex64 (the reference's 4 mixed complex
+    specializations, gemmul8.hpp:18-287) — widest-type output."""
+    rng = np.random.default_rng(2)
+    z1 = (rng.random((24, 40)) - .5) + 1j * (rng.random((24, 40)) - .5)
+    z2 = ((rng.random((40, 16)) - .5)
+          + 1j * (rng.random((40, 16)) - .5)).astype(np.complex64)
+    c = np.asarray(g8.gemm(z1, z2, num_moduli=14, compute_type=strat))
+    ref = z1 @ z2.astype(np.complex128)
+    assert c.dtype == np.complex128
+    assert float(np.abs((c - ref) / np.abs(ref)).max()) < 1e-12
+    # and the transposed-op route
+    c2 = np.asarray(g8.gemm(z1.T.copy(), z2, num_moduli=14,
+                            compute_type=strat, op_a="T"))
+    assert np.abs((c2 - ref) / np.abs(ref)).max() < 1e-12
