@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import gemmul8_tpu as g8
-from gemmul8_tpu.bench.evalref import dd_gemm_f64
+from gemmul8_tpu.bench.native import dd_gemm
 from gemmul8_tpu.bench.matrices import phi_matrix, relerr_stats
 
 NUM_MODULI = 15
@@ -21,7 +21,7 @@ N = 1024
 if __name__ == "__main__":
     a = phi_matrix(N, N, PHI, seed=123456).astype(np.float32)
     b = phi_matrix(N, N, PHI, seed=123457).astype(np.float32)
-    ref = dd_gemm_f64(a.astype(np.float64), b.astype(np.float64))
+    ref = dd_gemm(a.astype(np.float64), b.astype(np.float64))[0]
     c = np.asarray(g8.gemm(a, b, num_moduli=NUM_MODULI, fastmode=True))
     mx, med = relerr_stats(c.astype(np.float64), ref)
     nx, nmed = relerr_stats((a @ b).astype(np.float64), ref)

@@ -49,7 +49,7 @@ def _interpret() -> bool:
 # pass to HBM — measured 50 ms at 8192^2 f64 vs ~3 ms for this kernel.)
 # ---------------------------------------------------------------------------
 
-def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048),
+def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
                     return_stats: bool = False):
     """Fast-mode ('vecnorm') shift selection. x: F64Bits or f32 array (2D).
     axis=1: per-row shifts (m,1); axis=0: per-column shifts (1,k).
@@ -73,6 +73,8 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048),
         rows, kdim = d0, d1
     else:
         rows, kdim = d1, d0
+    if block is None:  # tuned on v5e at 8192^2 (tune_kernels.py)
+        block = (512, 1024) if axis == 1 else (256, 2048)
     br, bk = block
     t_f = tables.threshold_fast(num_moduli)
     rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
@@ -191,7 +193,7 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=(256, 2048),
 # ---------------------------------------------------------------------------
 
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=(64, 512)):
+                         moduli_idx=None, block=(64, 256)):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
     (1,k) for axis=0). Returns (L, m, k) int8."""

@@ -82,8 +82,8 @@ def main():
                 print(f"stats {blk}: FAIL {str(e)[:80]}", flush=True)
 
     if which in ("all", "encode"):
-        for blk in [(128, 1024), (128, 512), (64, 1024), (64, 2048),
-                    (128, 2048), (32, 1024), (64, 512)]:
+        for blk in [(64, 512), (32, 512), (64, 256), (16, 1024),
+                    (128, 256), (32, 2048)]:
             try:
                 f = jax.jit(lambda x, s, b=blk: pk.encode_slices_pallas(
                     x, s, L, axis=1, block=b))
@@ -95,8 +95,8 @@ def main():
     if which in ("all", "recon"):
         r8 = jnp.asarray(rng.integers(0, 173, (L, n, n), dtype=np.uint8))
         sft_b = sft.T
-        for blk in [(128, 256), (64, 256), (64, 512), (128, 128),
-                    (32, 512), (64, 128), (32, 256)]:
+        for blk in [(32, 256), (16, 512), (32, 128), (16, 256),
+                    (8, 512), (16, 128)]:
             try:
                 f = jax.jit(lambda r, sa, sb, b=blk: pk.reconstruct_pallas(
                     r, sa, sb, L, "f64", block=b))
