@@ -147,3 +147,30 @@ def ozimmu_gemm_np(a: np.ndarray, b: np.ndarray, num_split: int = 8):
 
     out = _jit_ozimmu(num_split)(f64_to_bits(a), f64_to_bits(b))
     return bits_to_f64(out, to_numpy=True)
+
+
+def ozimmu_zgemm(a_re: F64Bits, a_im: F64Bits, b_re: F64Bits, b_im: F64Bits,
+                 num_split: int = 8):
+    """Complex DGEMM via Ozaki-I (the reference hijacks cublasZgemm_v2 the
+    same way, ozIMMU_EF/src/cublas.cu:300): four real slice-GEMMs combined
+    as (RR - II) + i(RI + IR), each error-free in limb space."""
+    rr = ozimmu_gemm(a_re, b_re, num_split)
+    ii = ozimmu_gemm(a_im, b_im, num_split)
+    ri = ozimmu_gemm(a_re, b_im, num_split)
+    ir = ozimmu_gemm(a_im, b_re, num_split)
+    from ..core import softfloat as sf
+
+    re = sf.sub(rr, ii)
+    im = sf.add(ri, ir)
+    return re, im
+
+
+def ozimmu_zgemm_np(a: np.ndarray, b: np.ndarray, num_split: int = 8):
+    from ..types import bits_to_f64, f64_to_bits
+
+    f = lambda x: f64_to_bits(np.ascontiguousarray(x))
+    re, im = jax.jit(
+        lambda ar, ai, br, bi: ozimmu_zgemm(ar, ai, br, bi, num_split)
+    )(f(a.real), f(a.imag), f(b.real), f(b.imag))
+    return bits_to_f64(re, to_numpy=True) + 1j * bits_to_f64(im,
+                                                             to_numpy=True)

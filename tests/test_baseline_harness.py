@@ -36,3 +36,28 @@ def test_accuracy_check_csv(tmp_path):
     assert e8 < e6
     with open(path) as f:
         assert f.readline().startswith("phi,")
+
+
+def test_ozimmu_zgemm():
+    from gemmul8_tpu.baselines import ozimmu
+
+    rng = np.random.default_rng(4)
+    a = (rng.random((32, 48)) - .5) + 1j * (rng.random((32, 48)) - .5)
+    b = (rng.random((48, 24)) - .5) + 1j * (rng.random((48, 24)) - .5)
+    c = ozimmu.ozimmu_zgemm_np(a, b, 9)
+    ref = a @ b
+    assert float(np.abs((c - ref) / np.abs(ref)).max()) < 1e-13
+
+
+def test_bench_cli_smoke(tmp_path):
+    import subprocess
+    import sys
+
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "gemmul8_tpu.bench", "f", "accuracy_check",
+         "--sizes", "64", "--moduli", "4,8", "--outdir", str(tmp_path)],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "accuracy_check ->" in r.stdout
