@@ -165,12 +165,17 @@ def ozimmu_zgemm(a_re: F64Bits, a_im: F64Bits, b_re: F64Bits, b_im: F64Bits,
     return re, im
 
 
+@lru_cache(maxsize=None)
+def _jit_ozimmu_z(num_split):
+    return jax.jit(lambda ar, ai, br, bi: ozimmu_zgemm(ar, ai, br, bi,
+                                                       num_split))
+
+
 def ozimmu_zgemm_np(a: np.ndarray, b: np.ndarray, num_split: int = 8):
     from ..types import bits_to_f64, f64_to_bits
 
-    f = lambda x: f64_to_bits(np.ascontiguousarray(x))
-    re, im = jax.jit(
-        lambda ar, ai, br, bi: ozimmu_zgemm(ar, ai, br, bi, num_split)
-    )(f(a.real), f(a.imag), f(b.real), f(b.imag))
+    re, im = _jit_ozimmu_z(num_split)(
+        f64_to_bits(a.real), f64_to_bits(a.imag),
+        f64_to_bits(b.real), f64_to_bits(b.imag))
     return bits_to_f64(re, to_numpy=True) + 1j * bits_to_f64(im,
                                                              to_numpy=True)

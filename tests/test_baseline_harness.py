@@ -58,6 +58,8 @@ def test_bench_cli_smoke(tmp_path):
         [sys.executable, "-m", "gemmul8_tpu.bench", "f", "accuracy_check",
          "--sizes", "64", "--moduli", "4,8", "--outdir", str(tmp_path)],
         capture_output=True, text=True, env=env, timeout=600,
-        cwd="/root/repo")
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(
+                __import__("os").path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-800:]
     assert "accuracy_check ->" in r.stdout
