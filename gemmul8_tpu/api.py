@@ -186,6 +186,13 @@ def gemm_batched(a, b, *, num_moduli: int = 14, fastmode: bool = True,
 
 @_functools.lru_cache(maxsize=None)
 def _jit_batched(num_moduli: int, fastmode: bool, kind: str):
+    if jax.default_backend() == "tpu":
+        # sequential map over the batch, each element on the Pallas path
+        # (vmap cannot batch pallas_call grids; the MXU is saturated per
+        # element anyway so sequencing loses nothing)
+        return jax.jit(lambda x, y: jax.lax.map(
+            lambda xy: _g.gemm_core(xy[0], xy[1], num_moduli, fastmode,
+                                    kind, use_pallas=True), (x, y)))
     return jax.jit(jax.vmap(lambda x, y: _g.gemm_core(
         x, y, num_moduli, fastmode, kind, use_pallas=False)))
 

@@ -133,7 +133,12 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
 
     sched = ModuliSchedule(num_moduli, moduli_chunk)
     # shifts are chunk-independent: compute once
-    if fastmode:
+    if use_pallas and fastmode:
+        from ..pallas import kernels as pk
+
+        sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1)
+        sft_b = pk.fast_sft_pallas(b, num_moduli, axis=0)
+    elif fastmode:
         sft_a = _fast_sft_only(a, num_moduli, axis=1)
         sft_b = _fast_sft_only(b, num_moduli, axis=0)
     else:
@@ -141,11 +146,28 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     acc = None
     for j0, width in sched.chunks():
         idx = tuple(range(j0, j0 + width))
-        a8 = _encode_idx(a, sft_a, num_moduli, idx)
-        b8 = _encode_idx(b, sft_b, num_moduli, idx)
-        c32 = sg.slice_products(a8, b8)
-        r = sg.mod_reduce(c32, num_moduli, idx)
+        if use_pallas:
+            from ..pallas import kernels as pk
+            from ..pallas import matmul as pm
+
+            a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1,
+                                         moduli_idx=idx)
+            b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0,
+                                         moduli_idx=idx)
+            r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli, moduli_idx=idx)
+            r = r8.astype(jnp.int32)
+        else:
+            a8 = _encode_idx(a, sft_a, num_moduli, idx)
+            b8 = _encode_idx(b, sft_b, num_moduli, idx)
+            c32 = sg.slice_products(a8, b8)
+            r = sg.mod_reduce(c32, num_moduli, idx)
         acc = rec.accumulate_weighted(r, num_moduli, idx, acc)
+    if use_pallas:
+        from ..pallas import kernels as pk
+
+        return pk.reconstruct_pallas(jnp.stack(acc, 0), sft_a, sft_b,
+                                     num_moduli, out_dtype,
+                                     input_kind="limbs")
     return rec.finalize(acc, sft_a, sft_b, num_moduli, out_dtype)
 
 

@@ -106,3 +106,20 @@ def test_ozimmu_auto_split():
     s_hard = ozimmu.auto_num_split(b, b, threshold=1.0)
     assert s_easy <= s_hard
     assert 3 <= s_easy <= 16 and 3 <= s_hard <= 16
+
+
+def test_moduli_chunked_pallas_bitexact():
+    """The Pallas low-memory path (chunked encode/matmul + limb-input
+    reconstruct) is bit-identical to the one-shot jnp path."""
+    from gemmul8_tpu.core import gemm as gg
+    from gemmul8_tpu.types import f64_to_bits
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((48, 160)) - .5) * np.exp(rng.standard_normal((48, 160)))
+    b = (rng.random((160, 40)) - .5) * np.exp(rng.standard_normal((160, 40)))
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    ref = gg.gemm_core(A, B, 14, True, "f64", use_pallas=False)
+    got = gg.gemm_core(A, B, 14, True, "f64", moduli_chunk=5,
+                       use_pallas=True)
+    assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+    assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
