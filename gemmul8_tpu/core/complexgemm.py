@@ -88,8 +88,35 @@ def _accurate_sfts(a_re, a_im, b_re, b_im, num_moduli: int):
     return sft_a, sft_b
 
 
-def _encode_complex_operands(a_re, a_im, b_re, b_im, num_moduli, fastmode):
-    if fastmode:
+def _joint_sft_pallas(re, im, num_moduli, axis):
+    """Shared Re/Im fast-mode shift via two Pallas stats passes merged
+    elementwise (pmax on exponents, power-of-two-rescaled norm sum — the
+    same exact merge the sharded path uses across shards)."""
+    from ..pallas import kernels as pk
+
+    mant_bits = 53 if isinstance(re, F64Bits) else 24
+    er, sr, ar = pk.fast_sft_pallas(re, num_moduli, axis, return_stats=True)
+    ei, si, ai = pk.fast_sft_pallas(im, num_moduli, axis, return_stats=True)
+    emax = jnp.maximum(er, ei)
+    nrm2 = (sr * jnp.exp2((2 * (er - emax)).astype(jnp.float32))
+            + si * jnp.exp2((2 * (ei - emax)).astype(jnp.float32)))
+    af = ar | ai
+    k_total = 2 * re.shape[axis]  # joint norm spans both parts
+    return enc.sft_from_stats(emax, nrm2, af, k_total, num_moduli, mant_bits)
+
+
+def _encode_complex_operands(a_re, a_im, b_re, b_im, num_moduli, fastmode,
+                             use_pallas=False):
+    if fastmode and use_pallas:
+        from ..pallas import kernels as pk
+
+        sft_a = _joint_sft_pallas(a_re, a_im, num_moduli, 1)
+        sft_b = _joint_sft_pallas(b_re, b_im, num_moduli, 0)
+        a8r = pk.encode_slices_pallas(a_re, sft_a, num_moduli, axis=1)
+        a8i = pk.encode_slices_pallas(a_im, sft_a, num_moduli, axis=1)
+        b8r = pk.encode_slices_pallas(b_re, sft_b, num_moduli, axis=0)
+        b8i = pk.encode_slices_pallas(b_im, sft_b, num_moduli, axis=0)
+    elif fastmode:
         a8r, a8i, sft_a = enc.encode_fast_complex(a_re, a_im, num_moduli, 1)
         b8r, b8i, sft_b = enc.encode_fast_complex(b_re, b_im, num_moduli, 0)
     else:
@@ -99,20 +126,30 @@ def _encode_complex_operands(a_re, a_im, b_re, b_im, num_moduli, fastmode):
     return a8r, a8i, sft_a, b8r, b8i, sft_b
 
 
-def _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli, out_kind):
+def _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli, out_kind,
+                      use_pallas=False):
     """One reconstruct call over [Re; Im] stacked along rows."""
     r2 = jnp.concatenate([r_re, r_im], axis=1)
     sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
-    out = rec.reconstruct(r2, sft_a2, sft_b, num_moduli, out_kind)
+    out = _reconstruct(r2, sft_a2, sft_b, num_moduli, out_kind, use_pallas)
     m = r_re.shape[1]
-    if out_kind == "f64":
-        return out[:m], out[m:]
     return out[:m], out[m:]
+
+
+def _reconstruct(r, sft_a, sft_b, num_moduli, out_kind, use_pallas):
+    if use_pallas:
+        from ..pallas import kernels as pk
+
+        # r is canonical residues in [0, m): uint8 carries them exactly and
+        # selects the kernel's no-second-mod input branch
+        return pk.reconstruct_pallas(r.astype(jnp.uint8), sft_a, sft_b,
+                                     num_moduli, out_kind)
+    return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_kind)
 
 
 def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
                       fastmode: bool, compute_type: ComputeType,
-                      out_kind: str):
+                      out_kind: str, use_pallas: bool = False):
     """Emulated complex GEMM on canonical (re, im) operand pairs.
     Returns (re, im) in the target real format."""
     if compute_type in (ComputeType.REAL_DEFAULT, None):
@@ -123,7 +160,7 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
             f"k={k} exceeds the int32-exactness bound for {compute_type}")
 
     a8r, a8i, sft_a, b8r, b8i, sft_b = _encode_complex_operands(
-        a_re, a_im, b_re, b_im, num_moduli, fastmode)
+        a_re, a_im, b_re, b_im, num_moduli, fastmode, use_pallas)
 
     if compute_type == ComputeType.COMPLEX_BIG_MATRIX_ENCODE:
         neg_a8i = (-a8i.astype(_I32)).astype(jnp.int8)
@@ -134,7 +171,8 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
         c32 = sg.slice_products(a_blk, b_blk)                # (L, 2m, n)
         r = sg.mod_reduce(c32, num_moduli)
         sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
-        out = rec.reconstruct(r, sft_a2, sft_b, num_moduli, out_kind)
+        out = _reconstruct(r, sft_a2, sft_b, num_moduli, out_kind,
+                           use_pallas)
         m = a_re.shape[0]
         return out[:m], out[m:]
 
@@ -146,7 +184,7 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
         r_re = sg.mod_reduce(rr - ii, num_moduli)
         r_im = sg.mod_reduce(ri + ir, num_moduli)
         return _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli,
-                                 out_kind)
+                                 out_kind, use_pallas)
 
     if compute_type == ComputeType.COMPLEX_KARATSUBA_MULT:
         s_a = _recenter_add_int8(a8r, a8i, num_moduli)
@@ -157,7 +195,7 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
         r_re = sg.mod_reduce(e - f, num_moduli)
         r_im = sg.mod_reduce(g - e - f, num_moduli)
         return _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli,
-                                 out_kind)
+                                 out_kind, use_pallas)
 
     raise ValueError(compute_type)
 
@@ -195,8 +233,10 @@ def _canon_complex(x):
 
 @lru_cache(maxsize=None)
 def _jit_complex_core(num_moduli, fastmode, compute_type, out_kind):
+    use_pallas = jax.default_backend() == "tpu"
     return jax.jit(lambda ar, ai, br, bi: gemm_complex_core(
-        ar, ai, br, bi, num_moduli, fastmode, compute_type, out_kind))
+        ar, ai, br, bi, num_moduli, fastmode, compute_type, out_kind,
+        use_pallas))
 
 
 def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,

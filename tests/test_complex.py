@@ -89,3 +89,29 @@ def test_mixed_complex_types(strat):
     c2 = np.asarray(g8.gemm(z1.T.copy(), z2, num_moduli=14,
                             compute_type=strat, op_a="T"))
     assert np.abs((c2 - ref) / np.abs(ref)).max() < 1e-12
+
+
+@pytest.mark.parametrize("strat", STRATS)
+def test_complex_pallas_path(strat):
+    """The Pallas complex path (joint Re/Im stats kernels + fused encode +
+    kernel reconstruct) matches the reference product at fast-14 accuracy.
+    (Bit-equality with the jnp path is not required: the joint-norm merge
+    may legally pick a shift differing by 1 ulp of log2.)"""
+    from gemmul8_tpu.core import complexgemm as cg
+    from gemmul8_tpu.types import f64_to_bits
+
+    rng = np.random.default_rng(6)
+    m, k, n = 40, 96, 32
+    ar = (rng.random((m, k)) - .5) * np.exp(rng.standard_normal((m, k)))
+    ai = (rng.random((m, k)) - .5) * np.exp(rng.standard_normal((m, k)))
+    br = (rng.random((k, n)) - .5)
+    bi = (rng.random((k, n)) - .5)
+    ore, oim = cg.gemm_complex_core(
+        f64_to_bits(ar), f64_to_bits(ai), f64_to_bits(br), f64_to_bits(bi),
+        14, True, strat, "f64", use_pallas=True)
+    from gemmul8_tpu.types import bits_to_f64
+
+    got = bits_to_f64(ore, to_numpy=True) + 1j * bits_to_f64(oim,
+                                                             to_numpy=True)
+    ref = (ar + 1j * ai) @ (br + 1j * bi)
+    assert float(np.abs((got - ref) / np.abs(ref)).max()) < 1e-8
