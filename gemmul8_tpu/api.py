@@ -211,10 +211,29 @@ def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
                                                kind)
 
     def _sync(x):
-        jax.tree_util.tree_map(
-            lambda t: t.block_until_ready() if hasattr(t, "block_until_ready")
-            else t, x)
+        leaves = [t for t in jax.tree_util.tree_leaves(x)
+                  if hasattr(t, "block_until_ready")]
+        for t in leaves:
+            t.block_until_ready()
+        if leaves:
+            # remote-TPU runtimes can return from block_until_ready before
+            # execution finishes; a 1-element readback is a true fence
+            np.asarray(jax.device_get(leaves[0].ravel()[0]))
         return x
+
+    # untimed warmup: compile every phase (remote TPU compiles take
+    # seconds and would otherwise dominate the first iteration)
+    a8, sft_a, b8, sft_b = _sync(p_enc(ca, cb_))
+    _sync(p_rec(_sync(p_mod(_sync(p_mm(a8, b8)))), sft_a, sft_b))
+
+    # estimate the fixed host<->device sync cost so the per-phase numbers
+    # report device time, not tunnel latency
+    probe = jnp.zeros((8, 128))
+    _sync(probe)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _sync(probe)
+    sync_cost = (time.perf_counter() - t0) / 3
 
     times = np.zeros(4)
     out = None
@@ -230,6 +249,7 @@ def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
         t4 = time.perf_counter()
         times += [t1 - t0, t2 - t1, t3 - t2, t4 - t3]
     times /= iters
+    times = np.maximum(times - sync_cost, 0.0)
     if kind == "f64" and _backend_has_f64() and not isinstance(a, F64Bits):
         out = bits_to_f64(out)
     return out, list(times)

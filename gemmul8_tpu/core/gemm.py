@@ -190,11 +190,46 @@ def _encode_idx(x: Operand, sft, num_moduli: int, idx):
 
 
 def gemm_phases(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
-                out_dtype: str):
+                out_dtype: str, use_pallas: bool | None = None):
     """Staged variant returning per-phase callables for sync-based timing
     (parity with the reference's 4-part breakdown, gemmul8.cu:10-18):
-    encode / int8 GEMMs / mod-reduce / reconstruct."""
+    encode / int8 GEMMs / mod-reduce / reconstruct. On TPU the phases are
+    the same Pallas kernels the fused path runs (the mod-reduce is fused
+    into the matmul there, so phase 3 measures ~0 — noted in the CSV
+    semantics; the reference's conv_32i_2_8u is likewise a minor phase)."""
     _check_shapes(a, b)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas:
+        from ..pallas import kernels as pk
+        from ..pallas import matmul as pm
+
+        @jax.jit
+        def phase_encode(a, b):
+            if fastmode:
+                sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1)
+                sft_b = pk.fast_sft_pallas(b, num_moduli, axis=0)
+            else:
+                sft_a, sft_b = accurate_sfts(a, b, num_moduli)
+            a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
+            b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
+            return a8, sft_a, b8, sft_b
+
+        @jax.jit
+        def phase_matmul(a8, b8):
+            return pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
+
+        @jax.jit
+        def phase_mod(r8):
+            return r8  # fused into the matmul epilogue
+
+        @jax.jit
+        def phase_reconstruct(r, sft_a, sft_b):
+            return pk.reconstruct_pallas(r, sft_a, sft_b, num_moduli,
+                                         out_dtype)
+
+        return phase_encode, phase_matmul, phase_mod, phase_reconstruct
 
     @jax.jit
     def phase_encode(a, b):
