@@ -44,7 +44,10 @@ def main():
         # reordering layer can collapse, at one dispatch per iteration
         y = F64Bits(y_hi, y_lo ^ (s_prev & jnp.uint32(1)))
         o = gg.gemm_core(x, y, num_moduli, True, "f64")
-        return o, jnp.sum(o.hi ^ o.lo)  # checksum forces full execution
+        # checksum over a strided sample: forces the (whole-array) kernels
+        # to run while itself costing ~nothing — summing the full 540 MB
+        # output would charge ~1.5 ms of measurement plumbing to the GEMM
+        return o, jnp.sum(o.hi[::64, ::64] ^ o.lo[::64, ::64])
 
     f = jax.jit(run)
     s = jnp.uint32(0)

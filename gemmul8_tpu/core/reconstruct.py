@@ -83,10 +83,12 @@ def _mod_m_centered(x, num_moduli: int):
     t_est = jnp.floor(xf / jnp.float32(mf) * (1.0 - 2.0 ** -18)).astype(_I32)
     t_est = jnp.maximum(t_est, 0)
     x, _ = lb.scale_const_sub(x, t_est, m_limbs)
-    # Undershoot bound: t - t_est <= t*(2^-16 + 2^-18 + 2f32ulp) + 2 < 3
-    # (limb truncation of xf, mf granularity, division rounding, floor).
-    # Three borrow-select subtraction passes cover x < 4M exactly.
-    for _ in range(3):
+    # Undershoot bound: t - t_est <= t*(2*2^-16 + 2^-18 + 2^-22) + 1
+    # < 0.15 + 1 < 2 (xf limb truncation and mf granularity are each
+    # <= 2^-16 relative, t <= 255*num_moduli < 2^12, plus the floor).
+    # After subtracting t_est*M the remainder is < 2.2*M: two
+    # borrow-select subtraction passes reduce it below M exactly.
+    for _ in range(2):
         cand, borrow = lb.sub_const(x, m_limbs)
         x = lb.select(borrow == 0, cand, x)
     # Center: if X > M/2, value = X - M (negative), magnitude M - X.
