@@ -59,7 +59,7 @@ def main():
     # syncing per iteration would measure the tunnel, not the chip (the
     # reference's 100-iter average has the same structure,
     # test_double.cu:201-488).
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out, s = f(A, B.hi, B.lo, s)

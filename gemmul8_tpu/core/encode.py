@@ -228,10 +228,11 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
             if p != 0:
                 acc = acc + di * _I32(p)
         base = mod_u26(acc, m, bound)
-        # apply sign: residue of -x is (m - r) mod m
-        r = jnp.where(neg & (base > 0), _I32(m) - base, base)
-        # center into [-128, 127]
-        rc = r - jnp.where(r >= _I32((m + 1) // 2), _I32(m), _I32(0))
+        # center |v| mod m into the symmetric range, then apply the sign:
+        # for odd m the centered range [-(m-1)/2, (m-1)/2] is symmetric,
+        # so negating the centered residue equals the residue of -v
+        rc = base - jnp.where(base >= _I32((m + 1) // 2), _I32(m), _I32(0))
+        rc = jnp.where(neg, -rc, rc)
         rc = jnp.where(normal, rc, _I32(0))
         out.append(rc.astype(jnp.int8))
     return jnp.stack(out, axis=0)
