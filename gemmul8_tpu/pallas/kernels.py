@@ -193,7 +193,7 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
 # ---------------------------------------------------------------------------
 
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=(64, 256)):
+                         moduli_idx=None, block=(64, 512)):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
     (1,k) for axis=0). Returns (L, m, k) int8."""

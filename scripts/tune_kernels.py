@@ -67,8 +67,7 @@ def main():
     sft = pk.fast_sft_pallas(A, L, axis=1)
 
     if which in ("all", "stats"):
-        for blk in [(256, 2048), (512, 1024), (128, 4096), (512, 2048),
-                    (1024, 1024), (256, 4096)]:
+        for blk in [(512, 1024), (256, 2048)]:
             try:
                 f = jax.jit(lambda x, b=blk: pk.fast_sft_pallas(
                     x, L, axis=1, block=b))
@@ -82,8 +81,7 @@ def main():
                 print(f"stats {blk}: FAIL {str(e)[:80]}", flush=True)
 
     if which in ("all", "encode"):
-        for blk in [(64, 512), (32, 512), (64, 256), (16, 1024),
-                    (128, 256), (32, 2048)]:
+        for blk in [(64, 256), (64, 512), (32, 256)]:
             try:
                 f = jax.jit(lambda x, s, b=blk: pk.encode_slices_pallas(
                     x, s, L, axis=1, block=b))
@@ -95,8 +93,7 @@ def main():
     if which in ("all", "recon"):
         r8 = jnp.asarray(rng.integers(0, 173, (L, n, n), dtype=np.uint8))
         sft_b = sft.T
-        for blk in [(32, 256), (16, 512), (32, 128), (16, 256),
-                    (8, 512), (16, 128)]:
+        for blk in [(32, 256), (16, 512), (64, 256)]:
             try:
                 f = jax.jit(lambda r, sa, sb, b=blk: pk.reconstruct_pallas(
                     r, sa, sb, L, "f64", block=b))
