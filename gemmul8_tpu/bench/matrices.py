@@ -48,3 +48,17 @@ def relerr_stats(c: np.ndarray, ref: np.ndarray):
     denom = np.where(denom == 0, 1.0, denom)
     e = np.abs(c.astype(np.float64) - ref) / denom
     return float(np.max(e)), float(np.median(e))
+
+
+def latms_matrix(m: int, n: int, cond: float, seed: int,
+                 dtype=np.float64) -> np.ndarray:
+    """Random matrix with prescribed 2-norm condition number — the
+    capability of LAPACK latms-style generators in ozIMMU's vendored
+    mateval (/root/reference/ozIMMU_EF/test/mateval): orthogonal factors
+    around a log-spaced singular spectrum from 1 down to 1/cond."""
+    rng = np.random.default_rng(seed)
+    k = min(m, n)
+    u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    s = np.logspace(0.0, -np.log10(cond), k)
+    return ((u * s) @ v.T).astype(dtype)

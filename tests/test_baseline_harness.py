@@ -63,3 +63,34 @@ def test_bench_cli_smoke(tmp_path):
                 __import__("os").path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-800:]
     assert "accuracy_check ->" in r.stdout
+
+
+def test_replay_roundtrip(tmp_path):
+    from gemmul8_tpu.bench import replay
+    from gemmul8_tpu.bench.matrices import phi_matrix
+
+    a = phi_matrix(32, 64, 0.5, seed=1)
+    b = phi_matrix(64, 24, 0.5, seed=2)
+    p = str(tmp_path / "case.npz")
+    replay.save_case(p, a, b, phi=0.5, note=123)
+    a2, b2, meta = replay.load_case(p)
+    assert np.array_equal(a, a2) and np.array_equal(b, b2)
+    assert int(meta["note"]) == 123
+    c, mx, med = replay.replay(p, num_moduli=14)
+    assert med < 1e-12
+
+
+def test_latms_condition_number():
+    from gemmul8_tpu.bench.matrices import latms_matrix
+
+    a = latms_matrix(64, 48, cond=1e8, seed=3)
+    s = np.linalg.svd(a, compute_uv=False)
+    got_cond = s[0] / s[-1]
+    assert 0.5e8 < got_cond < 2e8
+    # emulation still accurate on ill-conditioned inputs
+    import gemmul8_tpu as g8
+    b = latms_matrix(48, 32, cond=1e6, seed=4)
+    c = np.asarray(g8.gemm(a, b, num_moduli=16))
+    ref = a @ b
+    denom = np.maximum(np.abs(ref), np.abs(a) @ np.abs(b) * 1e-12)
+    assert np.median(np.abs(c - ref) / denom) < 1e-13
