@@ -111,3 +111,34 @@ def test_k_bound_enforced():
     b = np.zeros((2 ** 17 + 128, 2), np.float32)
     with pytest.raises(ValueError, match="2\\^17"):
         g8.gemm(a, b, num_moduli=4)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_random_configs(seed):
+    """Property sweep: random shapes / phi / moduli / modes / dtypes must
+    stay within the accuracy the moduli count implies (vs the dd oracle)."""
+    from gemmul8_tpu.bench.native import dd_gemm, relerr_vs_dd
+
+    rng = np.random.default_rng(1000 + seed)
+    m = int(rng.integers(3, 70))
+    k = int(rng.integers(3, 300))
+    n = int(rng.integers(3, 70))
+    phi = float(rng.uniform(0, 3))
+    L = int(rng.integers(10, 21))
+    fast = bool(rng.integers(0, 2))
+    f32in = bool(rng.integers(0, 2))
+    a = phi_matrix(m, k, phi, seed=2000 + seed)
+    b = phi_matrix(k, n, phi, seed=3000 + seed)
+    if f32in:
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
+        if L > 19:
+            L = 19
+    c = np.asarray(_gemm(a, b, num_moduli=L, fastmode=fast,
+                         out_dtype=np.float64))
+    hi, lo = dd_gemm(np.asarray(a, np.float64), np.asarray(b, np.float64))
+    mx, med = relerr_vs_dd(c, hi, lo)
+    # 14+ moduli: better than 1e-6 median even at phi=3 difficulty;
+    # 10-13: grows with fewer moduli — generous band, catches blowups
+    band = 1e-6 if L >= 14 else 1e-2
+    assert med < band, (m, k, n, phi, L, fast, f32in, mx, med)
