@@ -121,6 +121,7 @@ def gemm(
     out_dtype=None,
     moduli_chunk: Optional[int] = None,
     max_workspace_bytes: Optional[int] = None,
+    n_panel: Optional[int] = None,
     op_a: str = "N",
     op_b: str = "N",
 ):
@@ -153,7 +154,10 @@ def gemm(
 
         moduli_chunk = plan_schedule(m, n, k, num_moduli,
                                      max_workspace_bytes).chunk
-    c_raw = _jit_core(num_moduli, fastmode, kind, moduli_chunk)(ca, cb_)
+    if n_panel is not None and n_panel < n:
+        c_raw = _jit_panels(num_moduli, fastmode, kind, n_panel)(ca, cb_)
+    else:
+        c_raw = _jit_core(num_moduli, fastmode, kind, moduli_chunk)(ca, cb_)
     return _finalize(c_raw, kind, alpha, beta, c, want_native_f64)
 
 
@@ -162,6 +166,12 @@ def _jit_core(num_moduli: int, fastmode: bool, kind: str,
               moduli_chunk=None):
     return jax.jit(lambda a, b: _g.gemm_core(a, b, num_moduli, fastmode,
                                              kind, moduli_chunk))
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_panels(num_moduli: int, fastmode: bool, kind: str, n_panel: int):
+    return jax.jit(lambda a, b: _g.gemm_core_panels(
+        a, b, num_moduli, fastmode, kind, n_panel))
 
 
 def gemm_batched(a, b, *, num_moduli: int = 14, fastmode: bool = True,

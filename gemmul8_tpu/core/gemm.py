@@ -171,6 +171,56 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     return rec.finalize(acc, sft_a, sft_b, num_moduli, out_dtype)
 
 
+def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
+                     out_dtype: str, n_panel: int,
+                     use_pallas: bool | None = None):
+    """Column-panel schedule for problems whose full slice tensors exceed
+    HBM (e.g. 16384^3 needs ~17 GB one-shot on a 16 GB chip): A is encoded
+    once; B is encoded, multiplied, and reconstructed one n-panel at a
+    time, so peak residue memory scales with the panel width. Only the
+    fast path (per-column B statistics are panel-local, so panels are
+    independent and results are bit-identical to one-shot)."""
+    _check_shapes(a, b)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = b.shape[1]
+    if use_pallas:
+        from ..pallas import kernels as pk
+        from ..pallas import matmul as pm
+
+        sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1) if fastmode else None
+        a8 = None
+        outs = []
+        for j0 in range(0, n, n_panel):
+            bp = b[:, j0:j0 + n_panel] if not isinstance(b, F64Bits) else \
+                F64Bits(b.hi[:, j0:j0 + n_panel], b.lo[:, j0:j0 + n_panel])
+            if fastmode:
+                sft_b = pk.fast_sft_pallas(bp, num_moduli, axis=0)
+            else:
+                sft_a, sft_b = accurate_sfts(a, bp, num_moduli)
+                a8 = None  # accurate shifts depend on B: re-encode A
+            if a8 is None:
+                a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
+            b8 = pk.encode_slices_pallas(bp, sft_b, num_moduli, axis=0)
+            r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
+            outs.append(pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
+                                              out_dtype))
+        if out_dtype == "f64":
+            return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
+                           jnp.concatenate([o.lo for o in outs], axis=1))
+        return jnp.concatenate(outs, axis=1)
+    outs = []
+    for j0 in range(0, n, n_panel):
+        bp = b[:, j0:j0 + n_panel] if not isinstance(b, F64Bits) else \
+            F64Bits(b.hi[:, j0:j0 + n_panel], b.lo[:, j0:j0 + n_panel])
+        outs.append(gemm_core(a, bp, num_moduli, fastmode, out_dtype,
+                              use_pallas=False))
+    if out_dtype == "f64":
+        return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
+                       jnp.concatenate([o.lo for o in outs], axis=1))
+    return jnp.concatenate(outs, axis=1)
+
+
 def _fast_sft_only(x: Operand, num_moduli: int, axis: int):
     if _is_f64(x):
         chunks, exp, sign, normal = enc._f64_fields(x.hi, x.lo)

@@ -123,3 +123,23 @@ def test_moduli_chunked_pallas_bitexact():
                        use_pallas=True)
     assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
     assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+
+
+def test_n_panel_bitexact():
+    """Column-panel schedule (for problems whose slices exceed HBM) is
+    bit-identical to one-shot in fast mode."""
+    from gemmul8_tpu.core import gemm as gg
+    from gemmul8_tpu.types import f64_to_bits
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((48, 200)) - .5) * np.exp(rng.standard_normal((48, 200)))
+    b = (rng.random((200, 100)) - .5) * np.exp(rng.standard_normal((200, 100)))
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    ref = gg.gemm_core(A, B, 14, True, "f64", use_pallas=False)
+    for up in (False, True):
+        got = gg.gemm_core_panels(A, B, 14, True, "f64", n_panel=32,
+                                  use_pallas=up)
+        assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+        assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+    out = np.asarray(g8.gemm(a, b, num_moduli=14, n_panel=32))
+    assert np.abs((out - a @ b) / (a @ b)).max() < 1e-9
