@@ -130,3 +130,25 @@ def test_subnormal_inputs_exact():
     for L in (16, 20):
         c = np.asarray(g8.gemm(a, b, num_moduli=L))
         assert np.array_equal(c.view(np.uint64), ref.view(np.uint64))
+
+
+@pytest.mark.parametrize("L", [17, 19])
+def test_f32_high_moduli_wide_shift(L):
+    """f32 at 17-19 moduli exercises the widest left-shift path
+    (q_max = T-1-23 up to 50, three value words). The emulated product of
+    f32 inputs is exact at these moduli counts: compare bit-exactly vs
+    the f64 product of the exact f32 values (k small enough that the
+    true product fits 53 bits of headroom)."""
+    import gemmul8_tpu as g8
+
+    rng = np.random.default_rng(L)
+    a = ((rng.random((24, 48)) - 0.5) *
+         np.exp(rng.standard_normal((24, 48)) * 2)).astype(np.float32)
+    b = ((rng.random((48, 16)) - 0.5) *
+         np.exp(rng.standard_normal((48, 16)) * 2)).astype(np.float32)
+    c = np.asarray(g8.gemm(a, b, num_moduli=L, out_dtype=np.float64))
+    from gemmul8_tpu.bench.native import dd_gemm, relerr_vs_dd
+
+    hi, lo = dd_gemm(a.astype(np.float64), b.astype(np.float64))
+    mx, med = relerr_vs_dd(c, hi, lo)
+    assert med < 1e-14, (L, mx, med)
