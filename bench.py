@@ -39,19 +39,22 @@ def main():
     B = bits(a.T.copy())
 
     def run(x, y_hi, y_lo, s_prev):
-        # fold the previous checksum into B's mantissa LSB inside the jitted
-        # graph: iterations form a serial dependency chain no caching or
-        # reordering layer can collapse, at one dispatch per iteration
-        y = F64Bits(y_hi, y_lo ^ (s_prev & jnp.uint32(1)))
-        o = gg.gemm_core(x, y, num_moduli, True, "f64")
+        # fold the previous checksum into one mantissa LSB of B's first row
+        # inside the jitted graph: iterations form a serial dependency
+        # chain no caching or reordering layer can collapse. y_lo is
+        # donated and threaded through, so the update aliases in place
+        # instead of copying the 270 MB buffer.
+        y_lo = y_lo.at[0, 0].set(y_lo[0, 0] ^ (s_prev & jnp.uint32(1)))
+        o = gg.gemm_core(x, F64Bits(y_hi, y_lo), num_moduli, True, "f64")
         # checksum over a strided sample: forces the (whole-array) kernels
         # to run while itself costing ~nothing — summing the full 540 MB
         # output would charge ~1.5 ms of measurement plumbing to the GEMM
-        return o, jnp.sum(o.hi[::64, ::64] ^ o.lo[::64, ::64])
+        return o, jnp.sum(o.hi[::64, ::64] ^ o.lo[::64, ::64]), y_lo
 
-    f = jax.jit(run)
+    f = jax.jit(run, donate_argnums=(2,))
     s = jnp.uint32(0)
-    out, s = f(A, B.hi, B.lo, s)
+    b_lo = B.lo
+    out, s, b_lo = f(A, B.hi, b_lo, s)
     int(s)
     int(jnp.sum(s))  # warm the sync-probe op so its compile isn't timed
     # Timing protocol: enqueue all chained iterations, sync once at the
@@ -62,7 +65,7 @@ def main():
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, s = f(A, B.hi, B.lo, s)
+        out, s, b_lo = f(A, B.hi, b_lo, s)
     int(s)
     t_total = time.perf_counter() - t0
     # one empty round trip to estimate the final-sync overhead
