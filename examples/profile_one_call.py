@@ -48,12 +48,21 @@ def main():
                 out = f(A, B)
             jax.block_until_ready(out)
         print(f"trace written to {args.trace_dir}")
+    def fence(o):
+        # block_until_ready can return early on remote-TPU runtimes; a
+        # 1-element readback is a true fence (see CLAUDE.md)
+        jax.block_until_ready(o)
+        np.asarray(jax.device_get(o.hi.ravel()[0]))
+
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = f(A, B)
-    jax.block_until_ready(out)
+    fence(out)
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"{dt * 1e3:.1f} ms/call -> {2 * n ** 3 / dt / 1e12:.2f} TFLOPS")
+    print(f"{dt * 1e3:.1f} ms/call -> {2 * n ** 3 / dt / 1e12:.2f} TFLOPS "
+          "(per-iter average incl. one final sync; see bench.py for the "
+          "chained headline protocol)")
 
 
 if __name__ == "__main__":

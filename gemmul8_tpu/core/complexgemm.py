@@ -253,14 +253,25 @@ def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
     ore, oim = _jit_complex_core(num_moduli, fastmode, compute_type,
                                  out_kind)(a_re, a_im, b_re, b_im)
     if out_kind == "f32":
-        out = jax.lax.complex(ore, oim)
+        # alpha/beta in real f32 arithmetic: some TPU runtimes cannot hold
+        # complex64 device arrays at all (transfers raise UNIMPLEMENTED)
+        ar_, ai_ = complex(alpha).real, complex(alpha).imag
         if alpha != 1.0:
-            out = out * jnp.complex64(alpha)
+            ore, oim = (ore * jnp.float32(ar_) - oim * jnp.float32(ai_),
+                        ore * jnp.float32(ai_) + oim * jnp.float32(ar_))
         if beta != 0.0:
             if c is None:
                 raise ValueError("beta != 0 requires c")
-            out = out + jnp.complex64(beta) * jnp.asarray(c, jnp.complex64)
-        return out
+            cn = np.asarray(c, np.complex64)
+            cr = jnp.asarray(cn.real, jnp.float32)
+            ci = jnp.asarray(cn.imag, jnp.float32)
+            br_, bi_ = complex(beta).real, complex(beta).imag
+            ore = ore + cr * jnp.float32(br_) - ci * jnp.float32(bi_)
+            oim = oim + cr * jnp.float32(bi_) + ci * jnp.float32(br_)
+        if jax.default_backend() == "cpu":
+            return jax.lax.complex(ore, oim)
+        # assemble on host where complex64 is unsupported on device
+        return np.asarray(ore) + 1j * np.asarray(oim)
     # c128 path
     if alpha != 1.0 or beta != 0.0:
         from . import softfloat as sf
