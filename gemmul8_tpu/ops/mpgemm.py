@@ -145,11 +145,20 @@ def mp_gemm(a: jax.Array, b: jax.Array, mode: Mode = Mode.AUTO,
 
 
 def mp_cgemm(a, b, mode: Mode = Mode.BF16X3):
-    """Complex64 mutable-precision GEMM via 4 real mp_gemms."""
-    ar, ai = jnp.real(a).astype(jnp.float32), jnp.imag(a).astype(jnp.float32)
-    br, bi = jnp.real(b).astype(jnp.float32), jnp.imag(b).astype(jnp.float32)
+    """Complex64 mutable-precision GEMM via 4 real mp_gemms.
+
+    Re/Im split happens on host for numpy inputs: some TPU runtimes cannot
+    hold complex64 device arrays at all, so the complex view must never
+    touch the device (the result is assembled on host there too)."""
+    an, bn = np.asarray(a), np.asarray(b)
+    ar = jnp.asarray(an.real, jnp.float32)
+    ai = jnp.asarray(an.imag, jnp.float32)
+    br = jnp.asarray(bn.real, jnp.float32)
+    bi = jnp.asarray(bn.imag, jnp.float32)
     rr = mp_gemm(ar, br, mode)
     ii = mp_gemm(ai, bi, mode)
     ri = mp_gemm(ar, bi, mode)
     ir = mp_gemm(ai, br, mode)
-    return jax.lax.complex(rr - ii, ri + ir)
+    if jax.default_backend() == "cpu":
+        return jax.lax.complex(rr - ii, ri + ir)
+    return np.asarray(rr - ii) + 1j * np.asarray(ri + ir)
