@@ -115,3 +115,25 @@ def test_complex_pallas_path(strat):
                                                              to_numpy=True)
     ref = (ar + 1j * ai) @ (br + 1j * bi)
     assert float(np.abs((got - ref) / np.abs(ref)).max()) < 1e-8
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_complex_configs(seed):
+    """Random complex shapes / strategies / moduli / modes vs numpy
+    complex128 reference."""
+    rng = np.random.default_rng(500 + seed)
+    m = int(rng.integers(3, 40))
+    k = int(rng.integers(3, 120))
+    n = int(rng.integers(3, 40))
+    L = int(rng.integers(12, 21))
+    fast = bool(rng.integers(0, 2))
+    strat = STRATS[int(rng.integers(0, 3))]
+    z1 = (phi_matrix(m, k, 1.0, 600 + seed)
+          + 1j * phi_matrix(m, k, 1.0, 700 + seed))
+    z2 = (phi_matrix(k, n, 1.0, 800 + seed)
+          + 1j * phi_matrix(k, n, 1.0, 900 + seed))
+    c = np.asarray(g8.gemm(z1, z2, num_moduli=L, fastmode=fast,
+                           compute_type=strat))
+    ref = z1 @ z2
+    med = float(np.median(np.abs(c - ref) / np.abs(ref)))
+    assert med < 1e-8, (m, k, n, L, fast, strat, med)
