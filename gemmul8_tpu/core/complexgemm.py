@@ -67,13 +67,6 @@ def _recenter_add_int8(x8: jax.Array, y8: jax.Array, num_moduli: int):
     return jnp.stack(outs, axis=0)
 
 
-def _encode_pair(re, im, num_moduli: int, axis: int, fastmode: bool,
-                 other=None):
-    if fastmode:
-        return enc.encode_fast_complex(re, im, num_moduli, axis)
-    raise RuntimeError("accurate-mode complex uses joint driver")
-
-
 def _accurate_sfts(a_re, a_im, b_re, b_im, num_moduli: int):
     mag_a, emax_a = enc.mag7_complex(a_re, a_im, axis=1)
     mag_b, emax_b = enc.mag7_complex(b_re, b_im, axis=0)
@@ -82,9 +75,9 @@ def _accurate_sfts(a_re, a_im, b_re, b_im, num_moduli: int):
     mant_a = 53 if isinstance(a_re, F64Bits) else 24
     mant_b = 53 if isinstance(b_re, F64Bits) else 24
     sft_a = enc.accurate_sft(jnp.max(s, axis=1, keepdims=True), emax_a,
-                             num_moduli, mant_a)
+                             num_moduli, mant_a, enc.MAG_SHIFT_COMPLEX)
     sft_b = enc.accurate_sft(jnp.max(s, axis=0, keepdims=True), emax_b,
-                             num_moduli, mant_b)
+                             num_moduli, mant_b, enc.MAG_SHIFT_COMPLEX)
     return sft_a, sft_b
 
 

@@ -35,12 +35,10 @@ norm-based shift bound conservative.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import tables
 from ..types import F64Bits
@@ -352,12 +350,15 @@ def encode_fast_f32(x: jax.Array, num_moduli: int, axis: int,
 # |A|*|B| -> per-row/col product-magnitude-based shifts -> encode.
 # ---------------------------------------------------------------------------
 
-def _extract_mag7(chunks, exp, normal, emax, mant_bits: int):
-    """ceil(|x| * 2^(5 - ilogb(amax))) as int8 in [0, 64] (round-up 7-bit
-    magnitude; cf. reference scaling.hpp:1508-1524)."""
-    # |x| = mant * 2^(exp - bias - (mant_bits-1)); scaled by 2^(5-(emax-bias)):
-    # v = mant * 2^(exp - emax - (mant_bits-6)); shift u = emax + mant_bits-6 - exp
-    u = jnp.clip(emax + _I32(mant_bits - 6) - exp, 0, 63)
+def _extract_mag7(chunks, exp, normal, emax, mant_bits: int,
+                  mag_shift: int = 5):
+    """ceil(|x| * 2^(mag_shift - ilogb(amax))) as int8 in [0, 2^(mag_shift+1)]
+    (round-up magnitude; cf. reference scaling.hpp:1508-1524). mag_shift=5
+    gives the reference's 7-bit magnitudes (<= 64); complex uses 4 so the
+    Re+Im sum stays <= 64 inside int8 (128 would wrap to -128)."""
+    # |x| = mant * 2^(exp - bias - (mant_bits-1)); scaled by
+    # 2^(mag_shift-(emax-bias)): shift u = emax + mant_bits-1-mag_shift - exp
+    u = jnp.clip(emax + _I32(mant_bits - 1 - mag_shift) - exp, 0, 63)
     d = _funnel_shift_right(chunks, u)
     v = d[0]  # result < 2^7, higher chunks zero
     sticky = _dropped_bits_nonzero(chunks, u)
@@ -380,17 +381,19 @@ def mag7_f32(x: jax.Array, axis: int):
 
 
 def accurate_sft(smax: jax.Array, emax: jax.Array, num_moduli: int,
-                 mant_bits: int):
+                 mant_bits: int, mag_shift: int = 5):
     """Accurate-mode shift from the |A|*|B| product-magnitude row/col max.
 
-    smax: int32 (keepdims shape) max over the int8 magnitude GEMM output.
-    sft = (5 - ilogb(amax)) + floor(-0.51*log2(smax) + T_accu), capped so the
-    per-element magnitude stays below 2^(T_accu)."""
+    smax: int32 (keepdims shape) max over the int8 magnitude GEMM output,
+    whose operands were extracted with `mag_shift` (see _extract_mag7).
+    sft = (mag_shift - ilogb(amax)) + floor(-0.51*log2(smax) + T_accu),
+    capped so the per-element magnitude stays below 2^(T_accu)."""
     t_a = tables.threshold_accurate(num_moduli)
     bias = 1023 if mant_bits == 53 else 127
     e = emax - _I32(bias)
     s = jnp.maximum(smax, 1).astype(jnp.float32)
-    sft = _I32(5) - e + jnp.floor(-0.51 * jnp.log2(s) + t_a).astype(_I32)
+    sft = (_I32(mag_shift) - e
+           + jnp.floor(-0.51 * jnp.log2(s) + t_a).astype(_I32))
     sft = jnp.minimum(sft, _I32(t_a - 1) - e)
     return sft
 
@@ -438,17 +441,24 @@ def encode_fast_complex(re, im, num_moduli: int, axis: int):
     return outs[0], outs[1], sft
 
 
+MAG_SHIFT_COMPLEX = 4  # parts <= 32, Re+Im sum <= 64: safe in int8
+
+
 def mag7_complex(re, im, axis: int):
-    """Round-up 7-bit magnitude bound for a complex operand: uses
-    |re| + |im| >= |z| so the accurate-mode product estimate stays an upper
-    bound. Values <= 128 fit int8."""
+    """Round-up magnitude bound for a complex operand: uses
+    |re| + |im| >= |z| so the accurate-mode product estimate stays an
+    upper bound. Extraction uses mag_shift=4 (one bit less than the real
+    path) because the per-part bound is 2^(mag_shift+1) and the Re+Im sum
+    must fit int8 — at mag_shift=5 two maximal parts sum to 128, which
+    wraps to -128 and silently corrupts the shift selection."""
     parts, mant_bits = _complex_parts(re, im)
     emax = None
     for chunks, exp, sign, normal in parts:
         e = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
         emax = e if emax is None else jnp.maximum(emax, e)
     mags = [
-        _extract_mag7(chunks, exp, normal, emax, mant_bits).astype(_I32)
+        _extract_mag7(chunks, exp, normal, emax, mant_bits,
+                      MAG_SHIFT_COMPLEX).astype(_I32)
         for chunks, exp, sign, normal in parts
     ]
     return (mags[0] + mags[1]).astype(jnp.int8), emax

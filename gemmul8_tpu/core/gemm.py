@@ -97,17 +97,8 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     _check_shapes(a, b)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    sft_a, sft_b = _select_sfts(a, b, num_moduli, fastmode, use_pallas)
     if moduli_chunk is None or moduli_chunk >= num_moduli:
-        if use_pallas and fastmode:
-            from ..pallas import kernels as pk
-
-            sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1)
-            sft_b = pk.fast_sft_pallas(b, num_moduli, axis=0)
-        elif fastmode:
-            sft_a = _fast_sft_only(a, num_moduli, axis=1)
-            sft_b = _fast_sft_only(b, num_moduli, axis=0)
-        else:
-            sft_a, sft_b = accurate_sfts(a, b, num_moduli)
         if use_pallas:
             from ..pallas import kernels as pk
             from ..pallas import matmul as pm
@@ -128,21 +119,11 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
         r = sg.mod_reduce(c32, num_moduli)
         return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype)
 
-    # ---- moduli-chunked schedule ----
+    # ---- moduli-chunked schedule (shifts already selected above:
+    # they are chunk-independent) ----
     from ..planner import ModuliSchedule
 
     sched = ModuliSchedule(num_moduli, moduli_chunk)
-    # shifts are chunk-independent: compute once
-    if use_pallas and fastmode:
-        from ..pallas import kernels as pk
-
-        sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1)
-        sft_b = pk.fast_sft_pallas(b, num_moduli, axis=0)
-    elif fastmode:
-        sft_a = _fast_sft_only(a, num_moduli, axis=1)
-        sft_b = _fast_sft_only(b, num_moduli, axis=0)
-    else:
-        sft_a, sft_b = accurate_sfts(a, b, num_moduli)
     acc = None
     for j0, width in sched.chunks():
         idx = tuple(range(j0, j0 + width))
@@ -209,16 +190,43 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
                            jnp.concatenate([o.lo for o in outs], axis=1))
         return jnp.concatenate(outs, axis=1)
+    # jnp fallback: hoist the A statistics/encode out of the panel loop
+    # (fast mode only; accurate shifts depend on B and go per panel)
     outs = []
+    a8 = None
+    sft_a = _fast_sft_only(a, num_moduli, axis=1) if fastmode else None
     for j0 in range(0, n, n_panel):
         bp = b[:, j0:j0 + n_panel] if not isinstance(b, F64Bits) else \
             F64Bits(b.hi[:, j0:j0 + n_panel], b.lo[:, j0:j0 + n_panel])
-        outs.append(gemm_core(a, bp, num_moduli, fastmode, out_dtype,
-                              use_pallas=False))
+        if fastmode:
+            sft_b = _fast_sft_only(bp, num_moduli, axis=0)
+        else:
+            sft_a, sft_b = accurate_sfts(a, bp, num_moduli)
+            a8 = None
+        if a8 is None:
+            a8 = _encode_idx(a, sft_a, num_moduli, None)
+        b8 = _encode_idx(bp, sft_b, num_moduli, None)
+        c32 = sg.slice_products(a8, b8)
+        r = sg.mod_reduce(c32, num_moduli)
+        outs.append(rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype))
     if out_dtype == "f64":
         return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
                        jnp.concatenate([o.lo for o in outs], axis=1))
     return jnp.concatenate(outs, axis=1)
+
+
+def _select_sfts(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
+                 use_pallas: bool):
+    """Shift selection shared by the one-shot and moduli-chunked paths."""
+    if use_pallas and fastmode:
+        from ..pallas import kernels as pk
+
+        return (pk.fast_sft_pallas(a, num_moduli, axis=1),
+                pk.fast_sft_pallas(b, num_moduli, axis=0))
+    if fastmode:
+        return (_fast_sft_only(a, num_moduli, axis=1),
+                _fast_sft_only(b, num_moduli, axis=0))
+    return accurate_sfts(a, b, num_moduli)
 
 
 def _fast_sft_only(x: Operand, num_moduli: int, axis: int):

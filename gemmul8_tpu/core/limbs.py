@@ -79,31 +79,6 @@ def sub_const(a: Sequence[jax.Array], const_limbs: Sequence[int]):
     return out, c
 
 
-def geq_const(a: Sequence[jax.Array], const_limbs: Sequence[int]) -> jax.Array:
-    """a >= C (canonical limbs vs compile-time constant).
-
-    LSB-up scan keeping an int32 0/1 state (the most significant differing
-    limb wins) — avoids bool-literal selects, which Mosaic cannot lower."""
-    ge = jnp.ones_like(a[0])
-    for xa, cl in zip(a, [int(c) for c in const_limbs]):
-        ge = jnp.where(xa > _I32(cl), _I32(1),
-                       jnp.where(xa < _I32(cl), _I32(0), ge))
-    return ge == 1
-
-
-def sub_const_if(a: Sequence[jax.Array], cond: jax.Array,
-                 const_limbs: Sequence[int]) -> List[jax.Array]:
-    """a - C where cond else a (a >= C guaranteed where cond)."""
-    out = []
-    c = jnp.zeros_like(a[0])
-    t = cond.astype(_I32)
-    for xa, cl in zip(a, const_limbs):
-        v = xa - t * _I32(int(cl)) + c
-        out.append(v & _I32(_MASK))
-        c = v >> 16
-    return out
-
-
 def const_minus(const_limbs: Sequence[int], a: Sequence[jax.Array]):
     """C - a (elementwise; caller guarantees C >= a)."""
     out = []
@@ -119,37 +94,9 @@ def shift_right(limbs: Sequence[jax.Array], u: jax.Array,
                 n_out: int) -> List[jax.Array]:
     """Dynamic right shift by u (elementwise int32, 0 <= u <= 16*(len+1)),
     keeping the lowest n_out output limbs. Canonical input limbs.
-
-    Packs limb pairs into uint32 words and funnel-shifts those — halves the
-    select-chain length vs per-limb shifting (hot inside reconstruct)."""
-    n = len(limbs)
-    _U = jnp.uint32
-    nw = (n + 1) // 2
-    words = []
-    for i in range(nw):
-        w = limbs[2 * i].astype(_U)
-        if 2 * i + 1 < n:
-            w = w | (limbs[2 * i + 1].astype(_U) << 16)
-        words.append(w)
-    nw_out = (n_out + 1) // 2
-    max_ws = (16 * (n + 1)) // 32 + 1
-    ws = u >> 5
-    b = (u & _I32(31)).astype(_U)
-    padded = words + [jnp.zeros_like(words[0])] * (max_ws + nw_out + 2)
-    out_words = []
-    for i in range(nw_out):
-        sw = padded[i]
-        sw1 = padded[i + 1]
-        for wv in range(1, max_ws + 1):
-            sw = jnp.where(ws == wv, padded[i + wv], sw)
-            sw1 = jnp.where(ws == wv, padded[i + wv + 1], sw1)
-        out_words.append((sw >> b) | ((sw1 << (_U(31) - b)) << 1))
-    out = []
-    for j in range(n_out):
-        w = out_words[j // 2]
-        w = (w >> 16) if (j % 2) else w
-        out.append(w.astype(_I32) & _I32(_MASK))
-    return out
+    Thin wrapper over shift_right_round (one packed funnel-shift
+    implementation to maintain)."""
+    return shift_right_round(limbs, u, n_out)[0]
 
 
 def shift_right_round(limbs: Sequence[jax.Array], u: jax.Array,

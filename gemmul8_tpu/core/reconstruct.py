@@ -17,8 +17,6 @@ when the MXU is busy with the next slice batch.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -55,9 +53,6 @@ def accumulate_weighted(r: jax.Array, num_moduli: int, moduli_idx=None,
     # partial sums < 20 * 255 * 65535 < 2^29 (+ canonical acc < 2^16): safe;
     # one carry pass canonicalizes.
     return lb.carry_propagate(out)
-
-
-_accumulate_weighted = accumulate_weighted
 
 
 def _mod_m_centered(x, num_moduli: int):

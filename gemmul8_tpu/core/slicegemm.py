@@ -52,18 +52,40 @@ def mod_reduce(c32: jax.Array, num_moduli: int, moduli_idx=None) -> jax.Array:
 
 def int8_peak_probe(n: int = 4096, iters: int = 10) -> float:
     """Raw int8 MXU throughput probe (TOPS) — the analog of the reference's
-    INT8-GEMM ones-matrix row (testing/test_double.cu:287-309)."""
+    INT8-GEMM ones-matrix row (testing/test_double.cu:287-309).
+
+    Uses the repo's chained timing protocol (each iteration's operand
+    depends on the previous product; single final readback fence; one
+    measured sync round trip subtracted) so the number reflects the chip,
+    not the host link."""
     import time
 
-    key = jax.random.PRNGKey(0)
-    a = jax.random.randint(key, (n, n), -128, 128, dtype=jnp.int8)
-    b = jax.random.randint(key, (n, n), -128, 128, dtype=jnp.int8)
-    f = jax.jit(lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
-    f(a, b).block_until_ready()
+    import numpy as np
+
+    ka, kb = jax.random.split(jax.random.PRNGKey(0))
+    a = jax.random.randint(ka, (n, n), -128, 128, dtype=jnp.int8)
+    b = jax.random.randint(kb, (n, n), -128, 128, dtype=jnp.int8)
+
+    @jax.jit
+    def step(a, b):
+        c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        # chain: next a depends on this product (cheap elementwise fold)
+        return (a ^ c.astype(jnp.int8)), c[0, 0]
+
+    def fence(x):
+        x.block_until_ready()
+        np.asarray(jax.device_get(x))
+
+    ai, s = step(a, b)
+    fence(s)
     t0 = time.perf_counter()
     for _ in range(iters):
-        c = f(a, b)
-    c.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        ai, s = step(ai, b)
+    fence(s)
+    t_total = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    fence(s + jnp.int32(0))
+    t_sync = time.perf_counter() - t1
+    dt = max(t_total - t_sync, 1e-9) / iters
     return 2 * n ** 3 / dt / 1e12

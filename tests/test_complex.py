@@ -137,3 +137,17 @@ def test_fuzz_complex_configs(seed):
     ref = z1 @ z2
     med = float(np.median(np.abs(c - ref) / np.abs(ref)))
     assert med < 1e-8, (m, k, n, L, fast, strat, med)
+
+
+def test_accurate_complex_magnitude_overflow_regression():
+    """Regression: accurate-mode complex with maximal-mantissa Re == Im used
+    to wrap the |Re|+|Im| int8 magnitude (64+64 = 128 -> -128), silently
+    corrupting the shift selection (~46x wrong results)."""
+    v = float.fromhex("0x1.fffffffffffffp0")
+    A = np.full((1, 64), v + v * 1j)
+    B = np.full((64, 1), v + 0j)
+    for strat in STRATS:
+        c = np.asarray(g8.gemm(A, B, num_moduli=14, fastmode=False,
+                               compute_type=strat))
+        ref = (A @ B)[0, 0]
+        assert abs(c[0, 0] - ref) / abs(ref) < 1e-12, (strat, c[0, 0], ref)
