@@ -17,8 +17,6 @@ The int8 slice GEMMs stay on XLA dot_general (native MXU int8).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -137,14 +135,11 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
                 out_ref[1][:] = s_acc[:]
                 out_ref[2][:] = af_acc[:]
             else:
-                nrm2 = jnp.maximum(
-                    s_acc[:] * jnp.float32(1.0 + kdim * 2.0**-23),
-                    jnp.float32(1.0))
-                lgn = jnp.log2(nrm2)
-                sft = (jnp.minimum(_I32(t_f - 1),
-                                   jnp.floor(-0.51 * lgn + t_f).astype(_I32))
-                       - (e_acc[:] - _I32(bias)))
-                out_ref[:] = jnp.where(af_acc[:] > 0, sft, _I32(0))
+                # the single shared shift formula (bit-exact parity with
+                # the jnp path is an invariant; don't re-implement it here)
+                out_ref[:] = enc.sft_from_stats(
+                    e_acc[:], s_acc[:], af_acc[:], kdim, num_moduli,
+                    mant_bits)
 
     if axis == 1:
         data_spec = pl.BlockSpec((br, bk), lambda i, kk: (i, kk),

@@ -15,8 +15,6 @@ separate conv_32i_2_8u kernel, conv_32i_2_8u.hpp:25-56).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,61 +32,6 @@ def _ceil_to(x, a):
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
-
-
-def matmul_int8_pallas(a8: jax.Array, b8: jax.Array,
-                       block=(512, 512, 512)) -> jax.Array:
-    """(L, m, k) int8 x (L, k, n) int8 -> (L, m, n) int32, exact."""
-    L, m, k = a8.shape
-    _, _, n = b8.shape
-    bm, bn, bk = block
-    mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
-    a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
-    b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
-    grid = (L, mp // bm, np_ // bn, kp // bk)
-
-    def kern(a_ref, b_ref, o_ref, acc_ref):
-        # program_id must be hoisted out of pl.when bodies (the interpreter
-        # cannot lower it inside lax.cond branches)
-        kk = pl.program_id(3)
-        klast = pl.num_programs(3) - 1
-
-        @pl.when(kk == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        acc_ref[:] += jax.lax.dot_general(
-            a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-
-        @pl.when(kk == klast)
-        def _():
-            o_ref[0] = acc_ref[:]
-
-    out = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bm, bk), lambda l, i, j, kk: (l, i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, bn), lambda l, i, j, kk: (l, kk, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bm, bn), lambda l, i, j, kk: (l, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, mp, np_), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * mp * np_ * kp,
-            bytes_accessed=L * (mp * kp + kp * np_ + mp * np_ * 4),
-            transcendentals=0),
-        interpret=_interpret(),
-    )(a8p, b8p)
-    return out[:, :m, :n]
 
 
 def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
@@ -114,13 +57,24 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
     recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
                          jnp.float32)
-    # Barrett fixup count from the STATIC accumulator bound |x| <= 2^7*2^7*k:
-    # quotient error <= ulp(xmax)/m_min + xmax/(m_min*2^24) + eps. One
-    # conditional subtract per doubling of the error interval.
-    xmax = 127.0 * 128.0 * kp
+    # Barrett fixup count from the STATIC accumulator bound |x| <= 2^7*2^7*k
+    # (the modulus-256 lane can reach 128*128*k; at k=2^17 that equals 2^31
+    # and wraps int32, which is harmless for THAT lane only because the
+    # wrap is 0 mod 256 — use the 128^2 bound so the analysis covers it).
+    # Full quotient-error budget: int->f32 cast (<= ulp(xmax)), reciprocal
+    # rounding and product rounding (each <= (x/m)*2^-24), and the rounding
+    # of the bias subtraction (<= ulp(x/m)/2). The bias must dominate the
+    # budget or q can overshoot floor(x/m), leaving a NEGATIVE remainder
+    # that the >=-only fixups cannot repair. One conditional subtract per
+    # doubling of the undershoot interval.
+    xmax = 128.0 * 128.0 * kp
     m_min = min(int(tables.MODULI[j]) for j in moduli_idx)
-    qerr = (2.0 ** (max(int(np.ceil(np.log2(xmax))) - 24, 0)) / m_min
-            + xmax / m_min / 2 ** 24 + 2.0 ** -10)
+    qmax = xmax / m_min
+    ulp = lambda v: 2.0 ** (max(int(np.ceil(np.log2(v))) - 24, -100))
+    qerr = (ulp(xmax) / m_min          # cast of x (full ulp: conservative)
+            + 2.0 * qmax / 2 ** 24     # reciprocal + multiply rounding
+            + ulp(qmax)                # bias-subtraction rounding
+            + 2.0 ** -10)
     bias = float(np.ceil(qerr * 8) / 8)
     # q in [t - ceil(2*bias), t]: remove up to `need` extra multiples of m
     # with descending power-of-two conditional subtracts (covers 2^(j+1)-1)
@@ -209,15 +163,13 @@ def matmul_crt_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
 
     Grid is (i, j, l, kk) with the output block revisited across l and kk,
     so the limb accumulator never leaves VMEM until every modulus has
-    contributed. Limb partial sums stay < L*255*65535 < 2^28: safe in
+    contributed. Limb partial sums stay < L*255*65535 < 2^29: safe in
     int32; one carry pass canonicalizes at the last modulus.
     """
-    from .. import tables as _t
-
     L, m, k = a8.shape
     _, _, n = b8.shape
     assert L == num_moduli
-    nl = _t.num_limbs(num_moduli)
+    nl = tables.num_limbs(num_moduli)
     bm, bn, bk = block
     bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
         min(bk, _ceil_to(k, 128))
@@ -225,9 +177,9 @@ def matmul_crt_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
     b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
     grid = (mp // bm, np_ // bn, L, kp // bk)
-    mods = jnp.asarray(_t.MODULI[:L], jnp.int32)
-    recips = jnp.asarray([1.0 / m for m in _t.MODULI[:L]], jnp.float32)
-    weights = jnp.asarray(_t.crt_weight_limbs(num_moduli), jnp.int32)  # (L, nl)
+    mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
+    recips = jnp.asarray([1.0 / m for m in tables.MODULI[:L]], jnp.float32)
+    weights = jnp.asarray(tables.crt_weight_limbs(num_moduli), jnp.int32)  # (L, nl)
 
     def kern(mods_ref, recips_ref, w_ref, a_ref, b_ref, o_ref, acc_ref):
         kk = pl.program_id(3)

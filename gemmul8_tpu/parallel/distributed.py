@@ -34,7 +34,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import tables
 from ..core import encode as enc
-from ..core import gemm as gg
 from ..core import reconstruct as rec
 from ..core import slicegemm as sg
 from ..types import F64Bits
@@ -87,19 +86,25 @@ def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int,
     # exact integer reduce-scatter over the k axis, scattering n
     c32 = jax.lax.psum_scatter(c32_partial, "y", scatter_dimension=2,
                                tiled=True)           # (L, m/x, n/y)
-    r = sg.mod_reduce(c32, num_moduli)
     # slice this shard's n-block of the (replicated) column shifts
     n_local = c32.shape[2]
     j = jax.lax.axis_index("y").astype(jnp.int32)
     sft_b_tile = jax.lax.dynamic_slice(
         sft_b, (jnp.int32(0), j * jnp.int32(n_local)), (1, n_local))
+    if use_pallas:
+        from ..pallas import kernels as pk
+
+        # fused mod-reduce + CRT + rounding per shard (the jnp chain would
+        # round-trip every int32 intermediate through HBM)
+        return pk.reconstruct_pallas(c32, sft_a, sft_b_tile, num_moduli,
+                                     out_kind)
+    r = sg.mod_reduce(c32, num_moduli)
     return rec.reconstruct(r, sft_a, sft_b_tile, num_moduli, out_kind)
 
 
 @lru_cache(maxsize=None)
-def _build_sharded(mesh_key, num_moduli: int, out_kind: str, is_f64_a: bool,
+def _build_sharded(mesh, num_moduli: int, out_kind: str, is_f64_a: bool,
                    is_f64_b: bool, use_pallas: bool = False):
-    mesh = _MESHES[mesh_key]
     ny = mesh.shape["y"]
     a_spec = F64Bits(P("x", "y"), P("x", "y")) if is_f64_a else P("x", "y")
     b_spec = F64Bits(P("y", None), P("y", None)) if is_f64_b else P("y", None)
@@ -115,9 +120,6 @@ def _build_sharded(mesh_key, num_moduli: int, out_kind: str, is_f64_a: bool,
     return jax.jit(fn)
 
 
-_MESHES: dict = {}
-
-
 def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
                  out_dtype: Optional[str] = None,
                  use_pallas: Optional[bool] = None):
@@ -127,7 +129,8 @@ def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
     mesh.x, k by mesh.y, n by mesh.y. Returns C sharded P('x','y')."""
     m, k = a.shape
     k2, n = b.shape
-    assert k == k2
+    if k != k2:
+        raise ValueError(f"inner dims mismatch: {a.shape} x {b.shape}")
     if k > tables.MAX_K:
         raise ValueError("global k exceeds 2^17 int32-exactness bound")
     nx, ny = mesh.shape["x"], mesh.shape["y"]
@@ -137,9 +140,7 @@ def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
     out_kind = out_dtype or ("f64" if (is64a or is64b) else "f32")
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    key = id(mesh)
-    _MESHES[key] = mesh
-    fn = _build_sharded(key, num_moduli, out_kind, is64a, is64b, use_pallas)
+    fn = _build_sharded(mesh, num_moduli, out_kind, is64a, is64b, use_pallas)
     # place operands
     a_sh = jax.device_put(a, _sharding_for(mesh, P("x", "y"), is64a))
     b_sh = jax.device_put(b, _sharding_for(mesh, P("y", None), is64b))
