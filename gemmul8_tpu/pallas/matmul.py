@@ -34,6 +34,40 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def barrett_fixup_params(kp: int, moduli_idx) -> tuple:
+    """(bias, fix_steps) for the float-estimate Barrett epilogue.
+
+    Fixup count from the STATIC accumulator bound |x| <= 2^7*2^7*kp
+    (the modulus-256 lane can reach 128*128*k; at k=2^17 that equals 2^31
+    and wraps int32, which is harmless for THAT lane only because the
+    wrap is 0 mod 256 — use the 128^2 bound so the analysis covers it).
+    Full quotient-error budget: int->f32 cast (<= ulp(xmax)), reciprocal
+    rounding and product rounding (each <= (x/m)*2^-24), and the rounding
+    of the bias subtraction (<= ulp(x/m)/2). The bias must dominate the
+    budget or q can overshoot floor(x/m), leaving a NEGATIVE remainder
+    that the >=-only fixups cannot repair. One conditional subtract per
+    doubling of the undershoot interval.
+    """
+    xmax = 128.0 * 128.0 * kp
+    m_min = min(int(tables.MODULI[j]) for j in moduli_idx)
+    qmax = xmax / m_min
+    ulp = lambda v: 2.0 ** (max(int(np.ceil(np.log2(v))) - 24, -100))
+    qerr = (ulp(xmax) / m_min          # cast of x (full ulp: conservative)
+            + 2.0 * qmax / 2 ** 24     # reciprocal + multiply rounding
+            + ulp(qmax)                # bias-subtraction rounding
+            + 2.0 ** -10)
+    bias = float(np.ceil(qerr * 8) / 8)
+    # q in [t - ceil(2*bias), t]: remove up to `need` extra multiples of m
+    # with descending power-of-two conditional subtracts (covers 2^(j+1)-1)
+    need = int(np.ceil(2 * bias))
+    fix_steps = []
+    sfx = 1
+    while sfx <= need:
+        fix_steps.append(sfx)
+        sfx *= 2
+    return bias, tuple(reversed(fix_steps))
+
+
 def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
                          moduli_idx=None,
                          block=(1024, 512, 8192)) -> jax.Array:
@@ -57,34 +91,7 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
     recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
                          jnp.float32)
-    # Barrett fixup count from the STATIC accumulator bound |x| <= 2^7*2^7*k
-    # (the modulus-256 lane can reach 128*128*k; at k=2^17 that equals 2^31
-    # and wraps int32, which is harmless for THAT lane only because the
-    # wrap is 0 mod 256 — use the 128^2 bound so the analysis covers it).
-    # Full quotient-error budget: int->f32 cast (<= ulp(xmax)), reciprocal
-    # rounding and product rounding (each <= (x/m)*2^-24), and the rounding
-    # of the bias subtraction (<= ulp(x/m)/2). The bias must dominate the
-    # budget or q can overshoot floor(x/m), leaving a NEGATIVE remainder
-    # that the >=-only fixups cannot repair. One conditional subtract per
-    # doubling of the undershoot interval.
-    xmax = 128.0 * 128.0 * kp
-    m_min = min(int(tables.MODULI[j]) for j in moduli_idx)
-    qmax = xmax / m_min
-    ulp = lambda v: 2.0 ** (max(int(np.ceil(np.log2(v))) - 24, -100))
-    qerr = (ulp(xmax) / m_min          # cast of x (full ulp: conservative)
-            + 2.0 * qmax / 2 ** 24     # reciprocal + multiply rounding
-            + ulp(qmax)                # bias-subtraction rounding
-            + 2.0 ** -10)
-    bias = float(np.ceil(qerr * 8) / 8)
-    # q in [t - ceil(2*bias), t]: remove up to `need` extra multiples of m
-    # with descending power-of-two conditional subtracts (covers 2^(j+1)-1)
-    need = int(np.ceil(2 * bias))
-    fix_steps = []
-    sfx = 1
-    while sfx <= need:
-        fix_steps.append(sfx)
-        sfx *= 2
-    fix_steps = tuple(reversed(fix_steps))
+    bias, fix_steps = barrett_fixup_params(kp, moduli_idx)
 
     def kern(mods_ref, recips_ref, a_ref, b_ref, o_ref, acc_ref):
         kk = pl.program_id(3)
