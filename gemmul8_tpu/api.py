@@ -66,6 +66,8 @@ def _apply_op(x, op: str, is_cplx: bool):
     if op == "N":
         return x
     if op == "T":
+        if isinstance(x, C64Bits):
+            return C64Bits(x.re.T, x.im.T)
         return x.T if not isinstance(x, np.ndarray) else x.T.copy()
     if op == "C":
         if not is_cplx:
@@ -97,9 +99,18 @@ def _finalize(c_raw, out_kind: str, alpha, beta, c_in, want_native_f64: bool):
         if beta != 0.0:
             if c_in is None:
                 raise ValueError("beta != 0 requires c")
-            cb = c_in if isinstance(c_in, F64Bits) else f64_to_bits(
-                np.asarray(c_in, np.float64) if isinstance(c_in, np.ndarray)
-                else c_in)
+            if isinstance(c_in, F64Bits):
+                cb = c_in
+            elif isinstance(c_in, np.ndarray):
+                cb = f64_to_bits(np.asarray(c_in, np.float64))
+            elif getattr(c_in, "dtype", None) == jnp.float64:
+                cb = f64_to_bits(c_in)
+            else:
+                # non-f64 jax array (e.g. f32 on a no-x64 backend): a device
+                # bitcast would misinterpret the words — widen on host
+                # (f32 -> f64 is exact)
+                cb = f64_to_bits(
+                    np.asarray(jax.device_get(c_in), np.float64))
             bc = sf.mul(cb, sf.const_f64(beta, c_raw.hi.shape))
             out = sf.add(out, bc)
         c_raw = out
@@ -140,6 +151,12 @@ def gemm(
     a = _apply_op(a, op_a, is_cplx)
     b = _apply_op(b, op_b, is_cplx)
     if is_cplx:
+        if (moduli_chunk is not None or max_workspace_bytes is not None
+                or n_panel is not None):
+            raise NotImplementedError(
+                "moduli_chunk / max_workspace_bytes / n_panel are only "
+                "supported on the real path (the reference's low-memory "
+                "mode is likewise real-only)")
         from .core import complexgemm as cg
 
         return cg.gemm_complex(a, b, alpha=alpha, beta=beta, c=c,
@@ -149,6 +166,10 @@ def gemm(
     ca, cb_ = _canon_real(a), _canon_real(b)
     kind = _out_kind(ca, cb_, out_dtype)
     m, k, n = _g._check_shapes(ca, cb_)
+    if n_panel is not None and (moduli_chunk is not None
+                                or max_workspace_bytes is not None):
+        raise ValueError("n_panel and moduli_chunk/max_workspace_bytes are "
+                         "mutually exclusive schedules")
     if moduli_chunk is None and max_workspace_bytes is not None:
         from .planner import plan_schedule
 
@@ -189,7 +210,8 @@ def gemm_batched(a, b, *, num_moduli: int = 14, fastmode: bool = True,
     kind = _out_kind(ca, cb_, out_dtype)
     fn = _jit_batched(num_moduli, fastmode, kind)
     out = fn(ca, cb_)
-    if kind == "f64" and _backend_has_f64() and not isinstance(a, F64Bits):
+    if (kind == "f64" and _backend_has_f64()
+            and not isinstance(a, F64Bits) and not isinstance(b, F64Bits)):
         return bits_to_f64(out)
     return out
 
@@ -260,7 +282,8 @@ def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
         times += [t1 - t0, t2 - t1, t3 - t2, t4 - t3]
     times /= iters
     times = np.maximum(times - sync_cost, 0.0)
-    if kind == "f64" and _backend_has_f64() and not isinstance(a, F64Bits):
+    if (kind == "f64" and _backend_has_f64()
+            and not isinstance(a, F64Bits) and not isinstance(b, F64Bits)):
         out = bits_to_f64(out)
     return out, list(times)
 

@@ -64,6 +64,12 @@ def ozimmu_gemm(a: F64Bits, b: F64Bits, num_split: int = 8):
 
     Cost: num_split*(num_split+1)/2 int8 GEMMs (pairs with s1+s2 <
     num_split, mirroring the reference's gemm_pair_config triangle)."""
+    from .. import tables
+
+    if a.shape[1] > tables.MAX_K:
+        raise ValueError(
+            f"k={a.shape[1]} exceeds the int32-exactness bound "
+            f"2^17 (slice-pair dot products would wrap int32)")
     bb = BITS_PER_SLICE
     a8, emax_a = _split_slices(a, num_split, axis=1)
     b8, emax_b = _split_slices(b, num_split, axis=0)

@@ -41,13 +41,18 @@ def main():
             dtype=args.dtype, sizes=sizes, phis=(args.phi,), moduli=moduli,
             outdir=args.outdir)
         print(f"accuracy_check -> {path}")
+    # time/watt rows honor an explicit --moduli sweep; default to the
+    # headline count per dtype
+    time_moduli = tuple(moduli) if args.moduli else (
+        (14,) if args.dtype == "d" else (8,))
     if args.mode in ("flops_check", "all"):
         rows, path = harness.time_check(
-            dtype=args.dtype, sizes=sizes, num_moduli=(14,) if args.dtype == "d"
-            else (8,), phi=args.phi, iters=args.iters, outdir=args.outdir)
+            dtype=args.dtype, sizes=sizes, num_moduli=time_moduli,
+            phi=args.phi, iters=args.iters, outdir=args.outdir)
         print(f"flops_check -> {path}")
     if args.mode in ("watt_check", "all"):
         rows, _ = harness.watt_check(dtype=args.dtype, sizes=sizes,
+                                     num_moduli=time_moduli,
                                      iters=args.iters)
         print("watt_check -> power telemetry N/A on this platform "
               "(columns NaN), rows:", len(rows))

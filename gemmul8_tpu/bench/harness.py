@@ -22,8 +22,6 @@ from __future__ import annotations
 import csv
 import datetime
 import os
-import time
-from dataclasses import dataclass
 
 import numpy as np
 
@@ -52,6 +50,7 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
     [{phi, m, n, k, func, max_relerr, med_relerr}]. Ground truth: dd GEMM
     (native C++ oracle when built, numpy dd fallback — bench/native.py)."""
     from .. import gemm
+    from ..types import as_numpy
     from .matrices import phi_matrix
     from .native import dd_gemm, relerr_vs_dd
 
@@ -78,7 +77,9 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
                 for L in moduli:
                     if dtype == "f" and L > 19:
                         continue
-                    c = np.asarray(gemm(a, b, num_moduli=L, fastmode=fast))
+                    # as_numpy: on TPU the f64 result is an F64Bits pair —
+                    # np.asarray would stack the raw words into uint32
+                    c = as_numpy(gemm(a, b, num_moduli=L, fastmode=fast))
                     mx, med = relerr_vs_dd(c.astype(np.float64),
                                            ref_hi, ref_lo)
                     rows.append(dict(phi=phi, m=m, n=m, k=k,
@@ -107,8 +108,9 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
     from ..api import gemm_timed
     from ..baselines import ozimmu
     from ..core import slicegemm as sg
-    from ..types import f64_to_bits
+    from ..types import F64Bits, f64_to_bits
     from .matrices import phi_matrix
+    from .timing import chained_time
 
     rows = []
     for n in sizes:
@@ -119,26 +121,36 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
             b = b.astype(np.float32)
         flops = 2.0 * n ** 3
 
-        # native matmul (highest precision the backend offers)
+        # native matmul (highest precision the backend offers), timed with
+        # the chained-enqueue protocol: a per-iteration sync would charge
+        # the ~60 ms tunnel round trip to a sub-ms matmul
         xa = jnp.asarray(a)
         xb = jnp.asarray(b)
-        fnat = jax.jit(lambda x, y: jnp.sum(
-            jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST)))
-        float(fnat(xa, xb))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            float(fnat(xa, xb))
-        tnat = (time.perf_counter() - t0) / iters
+
+        def nat_step(st, _xa=xa):
+            y, s = st
+            y = y.at[0, 0].add(0 * s)  # serial dep, value-preserving
+            return y, jnp.sum(jnp.matmul(
+                _xa, y, precision=jax.lax.Precision.HIGHEST))
+
+        fnat = jax.jit(nat_step, donate_argnums=(0,))
+        tnat, _ = chained_time(fnat, (xb, jnp.zeros((), xb.dtype)), iters)
         rows.append(dict(phi=phi, m=n, n=n, k=n,
                          func="DGEMM" if dtype == "d" else "SGEMM",
                          seconds=tnat, tflops=flops / tnat / 1e12,
                          t_scale=np.nan, t_int8gemm=np.nan, t_mod=np.nan,
                          t_invscale=np.nan))
 
-        # raw int8 probe
-        tops = sg.int8_peak_probe(min(n, 8192), iters=iters)
-        rows.append(dict(phi=phi, m=n, n=n, k=n, func="INT8-GEMM",
-                         seconds=flops / (tops * 1e12), tflops=tops,
+        # raw int8 probe (clamped to 8192 to bound remote compile time;
+        # the row reports the size actually run)
+        probe_n = min(n, 8192)
+        if probe_n != n:
+            print(f"[time_check] INT8-GEMM probe clamped to {probe_n}^3")
+        tops = sg.int8_peak_probe(probe_n, iters=iters)
+        rows.append(dict(phi=phi, m=probe_n, n=probe_n, k=probe_n,
+                         func="INT8-GEMM",
+                         seconds=2.0 * probe_n ** 3 / (tops * 1e12),
+                         tflops=tops,
                          t_scale=np.nan, t_int8gemm=np.nan, t_mod=np.nan,
                          t_invscale=np.nan))
 
@@ -156,14 +168,20 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
         if dtype == "d":
             for s in include_osi:
                 bits_a, bits_b = f64_to_bits(a), f64_to_bits(b)
-                fo = ozimmu._jit_ozimmu(s)
-                out = fo(bits_a, bits_b)
-                jax.block_until_ready(out)
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    out = fo(bits_a, bits_b)
-                jax.block_until_ready(out)
-                tosi = (time.perf_counter() - t0) / iters
+
+                def osi_step(st, _s=s, _hi=bits_a.hi, _b=bits_b):
+                    lo, chk = st
+                    # fold the previous checksum into one mantissa LSB:
+                    # serial dependency between iterations
+                    lo = lo.at[0, 0].set(lo[0, 0] ^ (chk & jnp.uint32(1)))
+                    out = ozimmu.ozimmu_gemm(F64Bits(_hi, lo), _b,
+                                             num_split=_s)
+                    return lo, jnp.sum(out.hi[::64, ::64]
+                                       ^ out.lo[::64, ::64])
+
+                fo = jax.jit(osi_step, donate_argnums=(0,))
+                tosi, _ = chained_time(
+                    fo, (bits_a.lo, jnp.uint32(0)), iters)
                 rows.append(dict(phi=phi, m=n, n=n, k=n, func=f"OS1-EF-{s}",
                                  seconds=tosi, tflops=flops / tosi / 1e12,
                                  t_scale=np.nan, t_int8gemm=np.nan,

@@ -29,11 +29,14 @@ def replay(path: str, num_moduli: int = 14, fastmode: bool = True,
     """Re-run the emulator on a saved case; returns (C, max_relerr,
     med_relerr) against the dd oracle."""
     from .. import gemm
+    from ..types import as_numpy
     from .native import dd_gemm, relerr_vs_dd
 
     a, b, _ = load_case(path)
-    c = np.asarray(gemm(a, b, num_moduli=num_moduli, fastmode=fastmode,
-                        **gemm_kwargs))
+    # as_numpy: on TPU an f64 result is an F64Bits pair — np.asarray would
+    # stack the raw bit words instead of reassembling the doubles
+    c = as_numpy(gemm(a, b, num_moduli=num_moduli, fastmode=fastmode,
+                      **gemm_kwargs))
     hi, lo = dd_gemm(np.asarray(a, np.float64), np.asarray(b, np.float64))
     mx, med = relerr_vs_dd(c.astype(np.float64), hi, lo)
     return c, mx, med

@@ -1,0 +1,54 @@
+"""Chained-enqueue device timing.
+
+The remote-TPU tunnel costs ~60 ms per host sync and ~3 ms per dispatch,
+and `block_until_ready()` can return before execution finishes, so naive
+sync-per-iteration loops measure the tunnel, not the chip. Protocol (the
+same one bench.py's headline uses, mirroring the reference's 100-iter
+averages, test_double.cu:201-488):
+
+  1. the step function threads a state through itself — a serial data
+     dependency no caching/reordering layer can collapse;
+  2. warm up the step AND the sync probe (compiles are not timed);
+  3. enqueue all iterations, fence ONCE at the end (block_until_ready +
+     a 1-element device_get, the only true fence on this runtime);
+  4. subtract one measured sync round trip.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def fence(x) -> None:
+    """True execution fence: block_until_ready + 1-element readback."""
+    import jax
+
+    leaves = [t for t in jax.tree_util.tree_leaves(x)
+              if hasattr(t, "block_until_ready")]
+    for t in leaves:
+        t.block_until_ready()
+    if leaves:
+        t0 = leaves[0]
+        np.asarray(jax.device_get(t0.ravel()[0] if t0.ndim else t0))
+
+
+def chained_time(step, state, iters: int):
+    """Time `step(state) -> state` (jitted, serially dependent through
+    state). Returns (seconds_per_iteration, final_state)."""
+    import jax.numpy as jnp
+
+    state = step(state)        # warmup / compile (untimed)
+    fence(state)
+    probe = jnp.zeros(())
+    fence(probe)               # warm the sync probe too
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    fence(state)
+    t_total = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    fence(probe)
+    t_sync = time.perf_counter() - t1
+    return max((t_total - t_sync) / iters, 1e-12), state

@@ -31,7 +31,20 @@ def _env_flag(name: str, default: bool) -> bool:
     v = os.environ.get(name)
     if v is None:
         return default
-    return v not in ("0", "false", "False", "")
+    s = v.strip().lower()
+    if s in ("1", "true", "yes", "on"):
+        return True
+    if s in ("0", "false", "no", "off", ""):
+        return False
+    raise ValueError(f"{name}={v!r}: expected a boolean "
+                     "(1/0, true/false, yes/no, on/off)")
+
+
+def _env_mode(name: str, default: str) -> str:
+    v = os.environ.get(name, default).strip().lower()
+    if v not in ("emulate", "native", "off"):
+        raise ValueError(f"{name}={v!r}: must be emulate | native | off")
+    return v
 
 
 @dataclass
@@ -41,8 +54,7 @@ class Config:
     fastmode: bool = field(
         default_factory=lambda: _env_flag("GEMMUL8_FASTMODE", True))
     compute_mode: str = field(
-        default_factory=lambda: os.environ.get("GEMMUL8_COMPUTE_MODE",
-                                               "emulate"))
+        default_factory=lambda: _env_mode("GEMMUL8_COMPUTE_MODE", "emulate"))
     intercept_threshold_m: int = field(
         default_factory=lambda: _env_int("GEMMUL8_INTERCEPT_THRESHOLD_M", 64))
     intercept_threshold_n: int = field(

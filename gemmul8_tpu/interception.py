@@ -23,10 +23,12 @@ import time
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import config as cfg
+from . import tables
 from .api import gemm
 
 _PROFILE_LOG: list = []
@@ -116,7 +118,20 @@ def override_matmuls(num_moduli: Optional[int] = None,
             return False
         if not (getattr(a, "ndim", 0) == 2 and getattr(b, "ndim", 0) == 2):
             return False
-        return (a.dtype in _ELIGIBLE or b.dtype in _ELIGIBLE)
+        # BOTH operands must be emulatable: an `or` would intercept e.g.
+        # f32 @ int32 and crash in canonicalization instead of passing
+        # the call through to native XLA
+        return (a.dtype in _ELIGIBLE and b.dtype in _ELIGIBLE)
+
+    def _fence(out):
+        # a true execution fence: block_until_ready + 1-element readback
+        # (remote-TPU runtimes can return from block_until_ready early)
+        leaves = [t for t in jax.tree_util.tree_leaves(out)
+                  if hasattr(t, "block_until_ready")]
+        for t in leaves:
+            t.block_until_ready()
+        if leaves:
+            np.asarray(jax.device_get(leaves[0].ravel()[0]))
 
     def _route(a, b, orig, **kwargs):
         global _LAST_FUNC
@@ -124,17 +139,25 @@ def override_matmuls(num_moduli: Optional[int] = None,
             return orig(a, b, **kwargs)
         m, k = a.shape
         _, n = b.shape
-        if k > 1 << 17:
+        if k > tables.MAX_K:
             return orig(a, b)
         mode = _FORCED_MODE or rule(m, n, k, a.dtype)
         _LAST_FUNC = f"matmul[{m}x{k}x{n},{a.dtype}]->{mode}"
-        if mode == "native":
-            return orig(a, b)
+        traced = isinstance(a, jax.core.Tracer) or isinstance(
+            b, jax.core.Tracer)
         t0 = time.perf_counter()
-        out = gemm(a, b, num_moduli=nm, fastmode=fm)
+        if mode == "native":
+            out = orig(a, b)
+            label = "native"
+        else:
+            out = gemm(a, b, num_moduli=nm, fastmode=fm)
+            label = f"emulate-{nm}"
         if prof:
+            if not traced:
+                _fence(out)  # record wall time, not async-dispatch time
             _PROFILE_LOG.append(CallRecord(
-                m, n, k, str(a.dtype), f"emulate-{nm}",
+                m, n, k, str(a.dtype),
+                label + (":traced" if traced else ""),
                 time.perf_counter() - t0))
         cfg.log_info(f"intercepted matmul {m}x{k}x{n} {a.dtype} -> {mode}")
         return out
@@ -145,6 +168,26 @@ def override_matmuls(num_moduli: Optional[int] = None,
     def patched_dot(a, b, **kw):
         return _route(a, b, orig_dot, **kw)
 
+    # the @ operator does NOT dispatch through jnp.matmul — jax.Array and
+    # Tracer hold their own __matmul__ references (captured at import), so
+    # patch the classes too (jax itself installs these with setattr,
+    # jax._src.numpy.array_methods)
+    op_patches = []
+    for cls_ in {type(jnp.zeros(0)), jax.core.Tracer}:
+        f = getattr(cls_, "__matmul__", None)
+        if f is None:
+            continue
+        in_dict = "__matmul__" in cls_.__dict__
+
+        def _mm(self, other, _f=f):
+            return _route(self, other, lambda x, y, **kw: _f(x, y))
+
+        try:
+            cls_.__matmul__ = _mm
+        except (AttributeError, TypeError):
+            continue  # immutable class on this jax version: skip
+        op_patches.append((cls_, f, in_dict))
+
     jnp.matmul = patched_matmul
     jnp.dot = patched_dot
     try:
@@ -152,3 +195,8 @@ def override_matmuls(num_moduli: Optional[int] = None,
     finally:
         jnp.matmul = orig_matmul
         jnp.dot = orig_dot
+        for cls_, f, in_dict in op_patches:
+            if in_dict:
+                cls_.__matmul__ = f
+            else:
+                del cls_.__matmul__

@@ -99,15 +99,21 @@ def _scaled_bf16x3(a, b):
     / cols of b to near-1 magnitude by powers of two (exact), multiply,
     unscale. Protects the residual split from underflow at extreme
     magnitudes."""
+    # clamp with the smallest NORMAL f32 (1e-38 is subnormal and flushes
+    # to zero on TPU, sending log2 to -inf and poisoning all-zero rows
+    # with 0 * inf = NaN)
+    tiny = jnp.float32(jnp.finfo(jnp.float32).tiny)
     ea = jnp.floor(jnp.log2(jnp.maximum(
-        jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-38)))
+        jnp.max(jnp.abs(a), axis=-1, keepdims=True), tiny)))
     eb = jnp.floor(jnp.log2(jnp.maximum(
-        jnp.max(jnp.abs(b), axis=-2, keepdims=True), 1e-38)))
+        jnp.max(jnp.abs(b), axis=-2, keepdims=True), tiny)))
     sa = jnp.exp2(-ea)
     sb = jnp.exp2(-eb)
     c = _bf16x3(a * sa, b * sb)
-    # ea is (..., m, 1), eb is (..., 1, n): broadcasts to the (m, n) output
-    return c * jnp.exp2(ea + eb)
+    # ea is (..., m, 1), eb is (..., 1, n): broadcasts to the (m, n) output.
+    # Unscale with two factors — exp2(ea + eb) overflows f32 when
+    # ea + eb > 127 even though each factor (and the product) is finite.
+    return c * jnp.exp2(ea) * jnp.exp2(eb)
 
 
 def mp_gemm(a: jax.Array, b: jax.Array, mode: Mode = Mode.AUTO,

@@ -87,6 +87,16 @@ def f64_to_bits(x) -> F64Bits:
     return F64Bits(u[..., 1], u[..., 0])
 
 
+def as_numpy(x) -> np.ndarray:
+    """Result of gemm() as a host ndarray regardless of domain: F64Bits
+    becomes float64 (np.asarray on the NamedTuple would silently stack the
+    raw hi/lo words into a (2, m, n) uint32 array); everything else passes
+    through np.asarray."""
+    if isinstance(x, F64Bits):
+        return bits_to_f64(x, to_numpy=True)
+    return np.asarray(x)
+
+
 def bits_to_f64(b: F64Bits, to_numpy: bool = False):
     """Inverse of f64_to_bits. Without x64 enabled (e.g. on TPU) a device
     bitcast would silently truncate to f32, so the conversion happens on

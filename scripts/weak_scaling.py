@@ -21,6 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; when the caller
+# asked for virtual host devices, force the CPU backend the only way that
+# sticks — via jax.config, before any array op (see CLAUDE.md).
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def sync(out):
     import jax
