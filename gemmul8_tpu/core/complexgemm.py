@@ -201,6 +201,11 @@ def _canon_complex(x):
     """-> (re, im, kind) with re/im canonical Operands."""
     if isinstance(x, C64Bits):
         return x.re, x.im, "c128"
+    if isinstance(x, F64Bits):
+        # real f64-bits operand mixed into a complex gemm: zero imag
+        # (+0.0 is all-zero bits)
+        zero = F64Bits(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
+        return x, zero, "c128"
     if isinstance(x, np.ndarray):
         if x.dtype == np.complex128:
             return (f64_to_bits(np.ascontiguousarray(x.real)),
@@ -269,26 +274,41 @@ def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
     if alpha != 1.0 or beta != 0.0:
         from . import softfloat as sf
 
-        are_, aim_ = complex(alpha).real, complex(alpha).imag
-        nre = sf.sub(sf.mul(ore, sf.const_f64(are_, ore.hi.shape)),
-                     sf.mul(oim, sf.const_f64(aim_, ore.hi.shape)))
-        nim = sf.add(sf.mul(ore, sf.const_f64(aim_, ore.hi.shape)),
-                     sf.mul(oim, sf.const_f64(are_, ore.hi.shape)))
-        ore, oim = nre, nim
+        def _cscale(re, im, z):
+            """(re, im) * complex z in softfloat; real z skips the cross
+            terms (they would also flip -0.0 imag parts to +0.0)."""
+            zr, zi = complex(z).real, complex(z).imag
+            shp = re.hi.shape
+            if zi == 0.0:
+                return (sf.mul(re, sf.const_f64(zr, shp)),
+                        sf.mul(im, sf.const_f64(zr, shp)))
+            return (sf.sub(sf.mul(re, sf.const_f64(zr, shp)),
+                           sf.mul(im, sf.const_f64(zi, shp))),
+                    sf.add(sf.mul(re, sf.const_f64(zi, shp)),
+                           sf.mul(im, sf.const_f64(zr, shp))))
+
+        if alpha != 1.0:
+            ore, oim = _cscale(ore, oim, alpha)
         if beta != 0.0:
             if c is None:
                 raise ValueError("beta != 0 requires c")
-            c_re, c_im, _ = _canon_complex(np.asarray(c) if not isinstance(
-                c, (C64Bits, jax.Array)) else c)
-            bre_, bim_ = complex(beta).real, complex(beta).imag
-            tre = sf.sub(sf.mul(c_re, sf.const_f64(bre_, ore.hi.shape)),
-                         sf.mul(c_im, sf.const_f64(bim_, ore.hi.shape)))
-            tim = sf.add(sf.mul(c_re, sf.const_f64(bim_, ore.hi.shape)),
-                         sf.mul(c_im, sf.const_f64(bre_, ore.hi.shape)))
+            c_re, c_im, kind_c = _canon_complex(
+                np.asarray(c) if not isinstance(c, (C64Bits, F64Bits,
+                                                    jax.Array)) else c)
+            if kind_c != "c128":
+                # narrow c (complex64/f32): widen exactly on host — the
+                # softfloat epilogue needs F64Bits operands
+                c_re = f64_to_bits(np.asarray(jax.device_get(c_re),
+                                              np.float64))
+                c_im = f64_to_bits(np.asarray(jax.device_get(c_im),
+                                              np.float64))
+            tre, tim = _cscale(c_re, c_im, beta)
             ore = sf.add(ore, tre)
             oim = sf.add(oim, tim)
     res = C64Bits(ore, oim)
-    if jax.default_backend() == "cpu" and not isinstance(a, C64Bits) and \
-            not isinstance(b, C64Bits):
+    # bits-domain contract, symmetric with the real path: a caller who
+    # passed ANY bits operand (C64Bits or F64Bits) gets bits back
+    if jax.default_backend() == "cpu" and not any(
+            isinstance(x, (C64Bits, F64Bits)) for x in (a, b)):
         return bits_to_f64(ore) + 1j * bits_to_f64(oim)
     return res

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from .. import tables
 from ..types import F64Bits
+from .limbs import dropped_nonzero as _dropped_bits_nonzero
 from .modmath import mod_u26
 
 _U32 = jnp.uint32
@@ -121,18 +122,6 @@ def _funnel_shift_right(chunks: Sequence[jax.Array], u: jax.Array):
     res_hi = jnp.where(u < 32, hi_sh, _U(0)).astype(_I32)
     return [res_lo & _I32(0xFFFF), (res_lo >> 16) & _I32(0xFFFF),
             res_hi & _I32(0xFFFF), (res_hi >> 16) & _I32(0xFFFF)]
-
-
-def _dropped_bits_nonzero(chunks: Sequence[jax.Array], u: jax.Array):
-    """Whether any of the low u bits (u in [0,63]) of the chunked integer are
-    nonzero (the 'sticky' bit for round-up)."""
-    sticky = jnp.zeros_like(chunks[0], dtype=jnp.bool_)
-    for i, c in enumerate(chunks):
-        # bits of chunk i occupy positions [16i, 16i+15]
-        nbits = jnp.clip(u - 16 * i, 0, 16)
-        mask = (_I32(1) << nbits) - _I32(1)
-        sticky = sticky | ((c & mask) != 0)
-    return sticky
 
 
 def _shifted_value_words(chunks, q, mant_bits: int, q_max_static: int):
@@ -265,7 +254,6 @@ def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int,
     axis_name: mesh axis the contraction dim is sharded over (inside
     shard_map) — stats then psum/pmax across shards so every shard picks
     the same globally-valid shift."""
-    t_f = tables.threshold_fast(num_moduli)
     emax = None
     for chunks, exp, sign, normal in parts:
         e = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
@@ -286,17 +274,9 @@ def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int,
         nrm2 = jax.lax.psum(nrm2, axis_name)
         anyfinite = jax.lax.psum(anyfinite.astype(_I32), axis_name) > 0
         k = k * jax.lax.axis_size(axis_name)
-    # round-up guard for f32 summation error, then log2 (>= 0 by scaling)
-    nrm2 = jnp.maximum(nrm2 * (1.0 + k * 2.0 ** -23), 1.0)
-    lgn = jnp.log2(nrm2)
-    bias = 1023 if mant_bits == 53 else 127
-    sft = (
-        jnp.minimum(_I32(t_f - 1),
-                    jnp.floor(-0.51 * lgn + t_f).astype(_I32))
-        - (emax - _I32(bias))
-    )
-    # degenerate all-zero rows: no shift
-    sft = jnp.where(anyfinite, sft, _I32(0))
+    # the single shared shift formula (the pallas/jnp bit-exactness
+    # invariant depends on one implementation)
+    sft = sft_from_stats(emax, nrm2, anyfinite, k, num_moduli, mant_bits)
     return sft, emax
 
 

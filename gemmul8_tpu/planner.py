@@ -25,20 +25,41 @@ def _ceil_to(x: int, a: int) -> int:
 
 def workspace_bytes(m: int, n: int, k: int, num_moduli: int,
                     compute_type: ComputeType = ComputeType.REAL_DEFAULT) -> int:
-    """Expected peak auxiliary bytes for one emulated GEMM call."""
+    """Expected peak auxiliary bytes for one emulated GEMM call.
+
+    Models the one-shot portable (jnp) schedule, which is the LARGER of
+    the two paths: it materializes the full (L, m, n) int32 slice-product
+    batch and int32 residues (the fused Pallas path writes uint8 residues
+    straight out of the matmul epilogue and never holds c32). Per
+    strategy it counts every simultaneously-live tensor batch:
+    REAL 1 slice set/side, 1 product batch; CLASSIC 2 slice sets/side
+    (re, im), 4 product batches (rr, ii, ri, ir); KARATSUBA 3 slice
+    sets/side (re, im, re+im), 3 product batches; BIG_MATRIX doubled
+    dims, 1 of each, plus the pre-concat re/im slices of A that co-live
+    with the assembled block operand."""
     k_pad = _ceil_to(k, 128)   # TPU lane alignment (reference pads to 16)
     m_pad = _ceil_to(m, 8)
     n_pad = _ceil_to(n, 8)
+    L = num_moduli
+    extra_slices = 0
     if compute_type == ComputeType.COMPLEX_BIG_MATRIX_ENCODE:
+        # a8r/a8i/-a8i co-live with the assembled (L, 2m, 2k) block
+        extra_slices = 3 * L * m_pad * k_pad
         m_pad, k_pad = 2 * m_pad, 2 * k_pad
-    mult = 2 if compute_type in (ComputeType.COMPLEX_CLASSIC_MULT,
-                                 ComputeType.COMPLEX_KARATSUBA_MULT) else 1
-    slices = num_moduli * (m_pad * k_pad + k_pad * n_pad) * mult      # int8
-    c32 = m_pad * n_pad * 4 * mult                                     # int32
-    residues = num_moduli * m_pad * n_pad * 4 * mult                   # int32
+        slice_sets, prod_batches, resid_batches = 1, 1, 1
+    elif compute_type == ComputeType.COMPLEX_CLASSIC_MULT:
+        slice_sets, prod_batches, resid_batches = 2, 4, 2
+    elif compute_type == ComputeType.COMPLEX_KARATSUBA_MULT:
+        slice_sets, prod_batches, resid_batches = 3, 3, 2
+    else:
+        slice_sets, prod_batches, resid_batches = 1, 1, 1
+    slices = (L * (m_pad * k_pad + k_pad * n_pad) * slice_sets
+              + extra_slices)                                          # int8
+    products = prod_batches * L * m_pad * n_pad * 4                    # int32
+    residues = resid_batches * L * m_pad * n_pad * 4                   # int32
     limbs = tables.num_limbs(num_moduli) * m_pad * n_pad * 4           # int32
     sft = (m_pad + n_pad) * 4
-    return slices + c32 + residues + limbs + sft
+    return slices + products + residues + limbs + sft
 
 
 @dataclass(frozen=True)
@@ -66,9 +87,12 @@ def plan_schedule(m: int, n: int, k: int, num_moduli: int,
     """Pick the moduli chunking. None budget -> all moduli at once."""
     if budget_bytes is None:
         return ModuliSchedule(num_moduli, num_moduli)
+    # per materialized modulus: int8 A and B slices, plus the int32
+    # slice-product AND the int32 residue tensor, which co-live on the
+    # chunked jnp path (core/gemm.py) — 8 bytes per output element
     per_modulus = (_ceil_to(m, 8) * _ceil_to(k, 128)
                    + _ceil_to(k, 128) * _ceil_to(n, 8)
-                   + _ceil_to(m, 8) * _ceil_to(n, 8) * 4)
+                   + _ceil_to(m, 8) * _ceil_to(n, 8) * 8)
     fixed = tables.num_limbs(num_moduli) * _ceil_to(m, 8) * _ceil_to(n, 8) * 4
     chunk = max(1, (budget_bytes - fixed) // max(per_modulus, 1))
     return ModuliSchedule(num_moduli, min(int(chunk), num_moduli))

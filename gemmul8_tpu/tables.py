@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import functools
 import math
-from dataclasses import dataclass
 
 import numpy as np
 
@@ -149,113 +148,6 @@ def crt_weight_limbs(num_moduli: int) -> np.ndarray:
 def big_m_limbs(num_moduli: int) -> np.ndarray:
     n = num_limbs(num_moduli)
     return np.array(to_limbs(big_m(num_moduli), n), dtype=np.int32)
-
-
-# ---------------------------------------------------------------------------
-# Floating-point views (for the f64 / double-double reconstruction path,
-# used on backends with native f64 — CPU — and for validation).
-# ---------------------------------------------------------------------------
-
-def _split_dd(x: int | float) -> tuple[float, float]:
-    """Round a big int to an unevaluated double-double pair (hi, lo)."""
-    hi = float(x)
-    lo = float(x - int(hi)) if isinstance(x, int) else x - hi
-    return hi, lo
-
-
-@functools.cache
-def crt_weights_f64(num_moduli: int) -> np.ndarray:
-    """(num_moduli,) f64 rounding of the exact CRT weights."""
-    return np.array([float(w) for w in crt_weights(num_moduli)], dtype=np.float64)
-
-
-@functools.cache
-def crt_weights_dd(num_moduli: int) -> tuple[np.ndarray, np.ndarray]:
-    """Double-double (hi, lo) pairs of the CRT weights."""
-    his, los = [], []
-    for w in crt_weights(num_moduli):
-        hi, lo = _split_dd(w)
-        his.append(hi)
-        los.append(lo)
-    return np.array(his, dtype=np.float64), np.array(los, dtype=np.float64)
-
-
-@functools.cache
-def big_m_f64(num_moduli: int) -> float:
-    return float(big_m(num_moduli))
-
-
-@functools.cache
-def big_m_dd(num_moduli: int) -> tuple[float, float]:
-    return _split_dd(big_m(num_moduli))
-
-
-@functools.cache
-def inv_big_m_f64(num_moduli: int) -> float:
-    return 1.0 / big_m_f64(num_moduli)
-
-
-@functools.cache
-def needs_two_words(num_moduli: int) -> bool:
-    """Whether a single f64 cannot hold M to full precision (M >= 2^53)."""
-    return big_m(num_moduli).bit_length() > 53
-
-
-# ---------------------------------------------------------------------------
-# Per-modulus helper constants for residue extraction and mod-reduction.
-# ---------------------------------------------------------------------------
-
-@functools.cache
-def moduli_i32(num_moduli: int) -> np.ndarray:
-    return np.array(MODULI[:num_moduli], dtype=np.int32)
-
-
-@functools.cache
-def moduli_f32(num_moduli: int) -> np.ndarray:
-    return np.array(MODULI[:num_moduli], dtype=np.float32)
-
-
-@functools.cache
-def pow2_mod_table(max_exp: int = 128) -> np.ndarray:
-    """(MAX_MODULI, max_exp) int32 table: pow2_mod[j, e] = 2^e mod m_j.
-
-    Used to reduce an integer given as significand * 2^e without wide
-    arithmetic: (sig mod m) * (2^e mod m) mod m."""
-    out = np.zeros((MAX_MODULI, max_exp), dtype=np.int32)
-    for j, m in enumerate(MODULI):
-        v = 1
-        for e in range(max_exp):
-            out[j, e] = v
-            v = (v * 2) % m
-    return out
-
-
-@dataclass(frozen=True)
-class ModuliConfig:
-    """Bundle of all constants for a given num_moduli, as numpy arrays ready
-    to be closed over by jitted functions."""
-
-    num_moduli: int
-
-    @property
-    def moduli(self) -> np.ndarray:
-        return moduli_i32(self.num_moduli)
-
-    @property
-    def big_m(self) -> int:
-        return big_m(self.num_moduli)
-
-    @property
-    def weights(self) -> tuple[int, ...]:
-        return crt_weights(self.num_moduli)
-
-    @property
-    def t_fast(self) -> int:
-        return threshold_fast(self.num_moduli)
-
-    @property
-    def t_accurate(self) -> int:
-        return threshold_accurate(self.num_moduli)
 
 
 def validate_crt(num_moduli: int, trials: int = 200, seed: int = 0) -> None:

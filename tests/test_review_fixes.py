@@ -171,3 +171,58 @@ def test_config_env_validation(monkeypatch):
         monkeypatch.delenv("GEMMUL8_COMPUTE_MODE", raising=False)
         monkeypatch.delenv("GEMMUL8_FASTMODE", raising=False)
         cfg.reload_config()
+
+
+def test_f64bits_real_operand_in_complex_gemm():
+    """A real F64Bits operand mixed with a complex operand (crashed in
+    _canon_complex before)."""
+    from gemmul8_tpu.types import f64_to_bits
+
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((8, 32))
+    b = rng.standard_normal((32, 8)) + 1j * rng.standard_normal((32, 8))
+    ref = np.asarray(g8.gemm(a, b, num_moduli=14))
+    got = g8.gemm(f64_to_bits(a), b, num_moduli=14)
+    from gemmul8_tpu.types import bits_to_f64
+
+    gotc = (bits_to_f64(got.re, to_numpy=True)
+            + 1j * bits_to_f64(got.im, to_numpy=True))
+    np.testing.assert_array_equal(gotc, ref)
+
+
+def test_complex128_beta_with_complex64_c():
+    """c128 epilogue with a narrow (complex64) c must widen, not crash."""
+    rng = np.random.default_rng(10)
+    a = rng.standard_normal((8, 32)) + 1j * rng.standard_normal((8, 32))
+    b = rng.standard_normal((32, 8)) + 1j * rng.standard_normal((32, 8))
+    c64 = (rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))
+           ).astype(np.complex64)
+    prod = np.asarray(g8.gemm(a, b, num_moduli=14))
+    got = np.asarray(g8.gemm(a, b, beta=0.5, c=c64, num_moduli=14))
+    ref = prod + 0.5 * c64.astype(np.complex128)
+    err = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert err.max() < 1e-15
+    # alpha=1.0 with beta!=0 must not perturb the product term at all
+    got2 = np.asarray(g8.gemm(a, b, alpha=1.0, beta=0.5, c=c64,
+                              num_moduli=14))
+    np.testing.assert_array_equal(got2, got)
+
+
+def test_planner_complex_strategies_ordering():
+    """The classic/kara estimates must exceed the real path (they hold
+    more simultaneously-live product/slice batches), and the low-memory
+    chunk must respect the budget with the 8-byte product+residue term."""
+    from gemmul8_tpu import planner
+    from gemmul8_tpu.types import ComputeType as CT
+
+    m = n = k = 2048
+    real = planner.workspace_bytes(m, n, k, 14, CT.REAL_DEFAULT)
+    classic = planner.workspace_bytes(m, n, k, 14, CT.COMPLEX_CLASSIC_MULT)
+    kara = planner.workspace_bytes(m, n, k, 14, CT.COMPLEX_KARATSUBA_MULT)
+    big = planner.workspace_bytes(m, n, k, 14, CT.COMPLEX_BIG_MATRIX_ENCODE)
+    assert classic > 2 * real and kara > 2 * real and big > 2 * real
+    # classic: 4 live (L,m,n) int32 product batches must be covered
+    assert classic >= 4 * 14 * m * n * 4
+    sched = planner.plan_schedule(m, n, k, 14, budget_bytes=500 * 2 ** 20)
+    per_mod = (m * k + k * n) + m * n * 8
+    assert sched.chunk * per_mod <= 500 * 2 ** 20
