@@ -180,8 +180,16 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
                                        ^ out.lo[::64, ::64])
 
                 fo = jax.jit(osi_step, donate_argnums=(0,))
-                tosi, _ = chained_time(
-                    fo, (bits_a.lo, jnp.uint32(0)), iters)
+                try:
+                    tosi, _ = chained_time(
+                        fo, (bits_a.lo, jnp.uint32(0)), iters)
+                except Exception as exc:  # compile/OOM on a baseline row
+                    # e.g. the remote compile service caps serialized HLO
+                    # at 2 GiB, which the OS-I graph exceeds at 8192^3 —
+                    # skip the row VISIBLY rather than aborting the sweep
+                    print(f"[time_check] OS1-EF-{s} at {n}^3 skipped: "
+                          f"{type(exc).__name__}: {str(exc)[:200]}")
+                    continue
                 rows.append(dict(phi=phi, m=n, n=n, k=n, func=f"OS1-EF-{s}",
                                  seconds=tosi, tflops=flops / tosi / 1e12,
                                  t_scale=np.nan, t_int8gemm=np.nan,
