@@ -127,14 +127,17 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
         xa = jnp.asarray(a)
         xb = jnp.asarray(b)
 
-        def nat_step(st, _xa=xa):
-            y, s = st
+        # operands travel IN the state (closures would embed them as HLO
+        # constants — hundreds of MB in the remote compile request)
+        def nat_step(st):
+            x, y, s = st
             y = y.at[0, 0].add(0 * s)  # serial dep, value-preserving
-            return y, jnp.sum(jnp.matmul(
-                _xa, y, precision=jax.lax.Precision.HIGHEST))
+            return x, y, jnp.sum(jnp.matmul(
+                x, y, precision=jax.lax.Precision.HIGHEST))
 
         fnat = jax.jit(nat_step, donate_argnums=(0,))
-        tnat, _ = chained_time(fnat, (xb, jnp.zeros((), xb.dtype)), iters)
+        tnat, _ = chained_time(
+            fnat, (xa, xb, jnp.zeros((), xb.dtype)), iters)
         rows.append(dict(phi=phi, m=n, n=n, k=n,
                          func="DGEMM" if dtype == "d" else "SGEMM",
                          seconds=tnat, tflops=flops / tnat / 1e12,
@@ -169,20 +172,21 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
             for s in include_osi:
                 bits_a, bits_b = f64_to_bits(a), f64_to_bits(b)
 
-                def osi_step(st, _s=s, _hi=bits_a.hi, _b=bits_b):
-                    lo, chk = st
+                def osi_step(st, _s=s):
+                    ah, lo, bb, chk = st
                     # fold the previous checksum into one mantissa LSB:
                     # serial dependency between iterations
                     lo = lo.at[0, 0].set(lo[0, 0] ^ (chk & jnp.uint32(1)))
-                    out = ozimmu.ozimmu_gemm(F64Bits(_hi, lo), _b,
+                    out = ozimmu.ozimmu_gemm(F64Bits(ah, lo), bb,
                                              num_split=_s)
-                    return lo, jnp.sum(out.hi[::64, ::64]
-                                       ^ out.lo[::64, ::64])
+                    return ah, lo, bb, jnp.sum(out.hi[::64, ::64]
+                                               ^ out.lo[::64, ::64])
 
                 fo = jax.jit(osi_step, donate_argnums=(0,))
                 try:
                     tosi, _ = chained_time(
-                        fo, (bits_a.lo, jnp.uint32(0)), iters)
+                        fo, (bits_a.hi, bits_a.lo, bits_b, jnp.uint32(0)),
+                        iters)
                 except Exception as exc:  # compile/OOM on a baseline row
                     # e.g. the remote compile service caps serialized HLO
                     # at 2 GiB, which the OS-I graph exceeds at 8192^3 —
