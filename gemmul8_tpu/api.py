@@ -254,9 +254,12 @@ def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
         return x
 
     # untimed warmup: compile every phase (remote TPU compiles take
-    # seconds and would otherwise dominate the first iteration)
+    # seconds and would otherwise dominate the first iteration), and
+    # materialize each phase's inputs
     a8, sft_a, b8, sft_b = _sync(p_enc(ca, cb_))
-    _sync(p_rec(_sync(p_mod(_sync(p_mm(a8, b8)))), sft_a, sft_b))
+    c32 = _sync(p_mm(a8, b8))
+    r = _sync(p_mod(c32))
+    out = _sync(p_rec(r, sft_a, sft_b))
 
     # estimate the fixed host<->device sync cost so the per-phase numbers
     # report device time, not tunnel latency
@@ -267,21 +270,20 @@ def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
         _sync(probe)
     sync_cost = (time.perf_counter() - t0) / 3
 
+    # per phase: enqueue `iters` repetitions, sync ONCE, subtract one
+    # round trip. A sync inside the iteration loop would charge ~4 tunnel
+    # RTTs (~60 ms each) per iteration to sub-100ms device work — the
+    # remote runtime's block_until_ready cost on in-flight work is not
+    # observable from a ready-probe, so it cannot be subtracted out.
     times = np.zeros(4)
-    out = None
-    for _ in range(iters):
+    phases = [(p_enc, (ca, cb_)), (p_mm, (a8, b8)), (p_mod, (c32,)),
+              (p_rec, (r, sft_a, sft_b))]
+    for i, (fn, args) in enumerate(phases):
         t0 = time.perf_counter()
-        a8, sft_a, b8, sft_b = _sync(p_enc(ca, cb_))
-        t1 = time.perf_counter()
-        c32 = _sync(p_mm(a8, b8))
-        t2 = time.perf_counter()
-        r = _sync(p_mod(c32))
-        t3 = time.perf_counter()
-        out = _sync(p_rec(r, sft_a, sft_b))
-        t4 = time.perf_counter()
-        times += [t1 - t0, t2 - t1, t3 - t2, t4 - t3]
-    times /= iters
-    times = np.maximum(times - sync_cost, 0.0)
+        for _ in range(iters):
+            o = fn(*args)
+        _sync(o)
+        times[i] = max(time.perf_counter() - t0 - sync_cost, 0.0) / iters
     if (kind == "f64" and _backend_has_f64()
             and not isinstance(a, F64Bits) and not isinstance(b, F64Bits)):
         out = bits_to_f64(out)
