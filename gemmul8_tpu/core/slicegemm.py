@@ -77,15 +77,26 @@ def int8_peak_probe(n: int = 4096, iters: int = 10) -> float:
         x.block_until_ready()
         np.asarray(jax.device_get(x))
 
+    # enough chained iterations that one tunnel round trip of jitter
+    # cannot swing the per-iteration time (a single ~60 ms RTT sample has
+    # tens of ms of variance; 2.8 ms/iter at 8192 needs >= ~30 iters)
+    iters = max(iters, 30)
     ai, s = step(a, b)
     fence(s)
+    # sync-cost sample: min of 3 (jitter is one-sided)
+    t_sync = min(_sample_sync(fence, s) for _ in range(3))
     t0 = time.perf_counter()
     for _ in range(iters):
         ai, s = step(ai, b)
     fence(s)
     t_total = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    fence(s + jnp.int32(0))
-    t_sync = time.perf_counter() - t1
     dt = max(t_total - t_sync, 1e-9) / iters
     return 2 * n ** 3 / dt / 1e12
+
+
+def _sample_sync(fence, s) -> float:
+    import time
+
+    t1 = time.perf_counter()
+    fence(s + jnp.int32(0))
+    return time.perf_counter() - t1
