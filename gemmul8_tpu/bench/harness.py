@@ -226,24 +226,34 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
 
     ca, cb_ = _api._canon_real(a), _api._canon_real(b)
     kind = _api._out_kind(ca, cb_, None)
+    b_is_bits = isinstance(cb_, F64Bits)
 
-    def step(st):
-        x, y, chk = st
-        if isinstance(y, F64Bits):
-            lo = y.lo.at[0, 0].set(
-                y.lo[0, 0] ^ (chk.astype(jnp.uint32) & jnp.uint32(1)))
-            y = F64Bits(y.hi, lo)
-            o = _g.gemm_core(x, y, num_moduli, fastmode, kind)
-        else:
+    # bench.py's structure: only the perturbed low word is donated and
+    # threaded; the other operand buffers are plain reused arguments
+    if b_is_bits:
+        def step(x, y_hi, y_lo, chk):
+            y_lo = y_lo.at[0, 0].set(
+                y_lo[0, 0] ^ (chk.astype(jnp.uint32) & jnp.uint32(1)))
+            o = _g.gemm_core(x, F64Bits(y_hi, y_lo), num_moduli, fastmode,
+                             kind)
+            leaf = o.hi if isinstance(o, F64Bits) else o
+            return y_lo, jnp.sum(leaf[::64, ::64].astype(jnp.float32))
+
+        f = jax.jit(step, donate_argnums=(2,))
+        dt, _ = chained_time(
+            lambda st: (f(ca, cb_.hi, st[0], st[1])), (cb_.lo,
+                                                       jnp.float32(0)),
+            iters)
+    else:
+        def step(x, y, chk):
             y = y.at[0, 0].add(0 * chk.astype(y.dtype))
             o = _g.gemm_core(x, y, num_moduli, fastmode, kind)
-        leaf = o.hi if isinstance(o, F64Bits) else o
-        # strided checksum: forces execution, costs ~nothing
-        chk2 = jnp.sum(leaf[::64, ::64].astype(jnp.float32))
-        return x, y, chk2
+            leaf = o.hi if isinstance(o, F64Bits) else o
+            return y, jnp.sum(leaf[::64, ::64].astype(jnp.float32))
 
-    f = jax.jit(step, donate_argnums=(0,))
-    dt, _ = chained_time(f, (ca, cb_, jnp.float32(0)), iters)
+        f = jax.jit(step, donate_argnums=(1,))
+        dt, _ = chained_time(
+            lambda st: f(ca, st[0], st[1]), (cb_, jnp.float32(0)), iters)
     return dt
 
 

@@ -22,15 +22,19 @@ import numpy as np
 
 
 def fence(x) -> None:
-    """True execution fence: block_until_ready + 1-element readback."""
+    """True execution fence: a 1-element readback of the LAST leaf (the
+    step functions put their checksum last, which depends on everything).
+
+    Deliberately no block_until_ready first: on in-flight work it costs
+    its own tunnel round trip, which the ready-probe used for sync-cost
+    subtraction cannot observe — the leftover would bias every
+    measurement by ~one RTT per run."""
     import jax
 
     leaves = [t for t in jax.tree_util.tree_leaves(x)
               if hasattr(t, "block_until_ready")]
-    for t in leaves:
-        t.block_until_ready()
     if leaves:
-        t0 = leaves[0]
+        t0 = leaves[-1]
         np.asarray(jax.device_get(t0.ravel()[0] if t0.ndim else t0))
 
 
