@@ -135,13 +135,21 @@ def gemm(
     n_panel: Optional[int] = None,
     op_a: str = "N",
     op_b: str = "N",
+    return_times: bool = False,
 ):
     """Emulated high-precision GEMM via Ozaki Scheme II on int8 MXU matmuls.
 
     a: (m, k), b: (k, n). num_moduli in [2, 20] trades accuracy for int8
     GEMM count (DGEMM-grade at ~14-15, beyond-FP64 at 18-20; FP32-grade at
     ~7-8). fastmode=False adds one magnitude GEMM for tighter shifts
-    (~1 extra modulus worth of accuracy)."""
+    (~1 extra modulus worth of accuracy).
+
+    return_times=True returns (C, [encode, int8_gemms, mod_reduce,
+    reconstruct] seconds) like every reference gemm call does
+    (include/gemmul8.hpp:24-26). The timed call runs the same kernels
+    staged with device fences between phases (the reference's own timing
+    serializes phases with cudaDeviceSynchronize the same way); the mod
+    phase is fused into the matmul epilogue here and reads ~0."""
     if not (2 <= num_moduli <= tables.MAX_MODULI):
         raise ValueError(f"num_moduli must be in [2, {tables.MAX_MODULI}]")
     is_cplx = (isinstance(a, C64Bits) or isinstance(b, C64Bits)
@@ -175,6 +183,12 @@ def gemm(
 
         moduli_chunk = plan_schedule(m, n, k, num_moduli,
                                      max_workspace_bytes).chunk
+    if return_times:
+        if n_panel is not None or moduli_chunk is not None:
+            raise NotImplementedError(
+                "return_times is for the one-shot schedule")
+        c_raw, times = _timed_core(ca, cb_, num_moduli, fastmode, kind, 1)
+        return _finalize(c_raw, kind, alpha, beta, c, want_native_f64), times
     if n_panel is not None and n_panel < n:
         c_raw = _jit_panels(num_moduli, fastmode, kind, n_panel)(ca, cb_)
     else:
@@ -196,10 +210,20 @@ def _jit_panels(num_moduli: int, fastmode: bool, kind: str, n_panel: int):
 
 
 def gemm_batched(a, b, *, num_moduli: int = 14, fastmode: bool = True,
-                 out_dtype=None):
+                 out_dtype=None,
+                 compute_type: ComputeType = ComputeType.REAL_DEFAULT):
     """Strided-batch emulated GEMM: a (B, m, k) x b (B, k, n) -> (B, m, n).
-    Capability parity with cuMpSGEMM's gemm_stridedBatch
-    (include/cumpsgemm/cumpsgemm.hpp:10-92)."""
+    Capability parity with cuMpSGEMM's gemm_stridedBatch — including the
+    complex variant (gemm_stridedBatch<cuComplex>,
+    include/cumpsgemm/cumpsgemm.hpp:27): complex64/128 batches route
+    through the complex engine with the chosen compute_type."""
+    is_cplx = (isinstance(a, C64Bits) or isinstance(b, C64Bits)
+               or any(hasattr(x, "dtype") and jnp.issubdtype(
+                   getattr(x, "dtype", None), jnp.complexfloating)
+                   for x in (a, b)))
+    if is_cplx:
+        return _gemm_batched_complex(a, b, num_moduli, fastmode, out_dtype,
+                                     compute_type)
     ca, cb_ = _canon_real(a), _canon_real(b)
     if len(ca.shape) != 3 or len(cb_.shape) != 3:
         raise ValueError("gemm_batched expects 3D (batch, rows, cols)")
@@ -214,6 +238,53 @@ def gemm_batched(a, b, *, num_moduli: int = 14, fastmode: bool = True,
             and not isinstance(a, F64Bits) and not isinstance(b, F64Bits)):
         return bits_to_f64(out)
     return out
+
+
+def _gemm_batched_complex(a, b, num_moduli, fastmode, out_dtype,
+                          compute_type):
+    from .core import complexgemm as cg
+
+    a_re, a_im, kind_a = cg._canon_complex(a)
+    b_re, b_im, kind_b = cg._canon_complex(b)
+    if len(a_re.shape) != 3 or len(b_re.shape) != 3:
+        raise ValueError("gemm_batched expects 3D (batch, rows, cols)")
+    if (a_re.shape[0] != b_re.shape[0]
+            or a_re.shape[2] != b_re.shape[1]):
+        raise ValueError(
+            f"batch shapes mismatch: {a_re.shape} x {b_re.shape}")
+    if out_dtype is not None:
+        out_c128 = "128" in str(out_dtype)
+    else:
+        out_c128 = "c128" in (kind_a, kind_b)
+    kind = "f64" if out_c128 else "f32"
+    ore, oim = _jit_batched_complex(num_moduli, fastmode, compute_type,
+                                    kind)(a_re, a_im, b_re, b_im)
+    if kind == "f32":
+        if jax.default_backend() == "cpu":
+            return jax.lax.complex(ore, oim)
+        # complex64 device arrays are unsupported on some TPU runtimes:
+        # assemble on host (same contract as gemm_complex)
+        return np.asarray(ore) + 1j * np.asarray(oim)
+    res = C64Bits(ore, oim)
+    if _backend_has_f64() and not any(
+            isinstance(x, (C64Bits, F64Bits)) for x in (a, b)):
+        return bits_to_f64(ore) + 1j * bits_to_f64(oim)
+    return res
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_batched_complex(num_moduli: int, fastmode: bool,
+                         compute_type: ComputeType, kind: str):
+    from .core import complexgemm as cg
+
+    if jax.default_backend() == "tpu":
+        return jax.jit(lambda ar, ai, br, bi: jax.lax.map(
+            lambda t: cg.gemm_complex_core(
+                t[0], t[1], t[2], t[3], num_moduli, fastmode, compute_type,
+                kind, use_pallas=True), (ar, ai, br, bi)))
+    return jax.jit(jax.vmap(lambda ar, ai, br, bi: cg.gemm_complex_core(
+        ar, ai, br, bi, num_moduli, fastmode, compute_type, kind,
+        use_pallas=False)))
 
 
 @_functools.lru_cache(maxsize=None)
@@ -235,10 +306,27 @@ def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
 
     Returns (C, times) where times = [encode, int8_gemms, mod_reduce,
     reconstruct] seconds (cf. include/gemmul8.hpp:24-26)."""
-    import time
-
     ca, cb_ = _canon_real(a), _canon_real(b)
     kind = _out_kind(ca, cb_, out_dtype)
+    out, times = _timed_core(ca, cb_, num_moduli, fastmode, kind, iters)
+    if (kind == "f64" and _backend_has_f64()
+            and not isinstance(a, F64Bits) and not isinstance(b, F64Bits)):
+        out = bits_to_f64(out)
+    return out, times
+
+
+def _timed_core(ca, cb_, num_moduli: int, fastmode: bool, kind: str,
+                iters: int):
+    """Sync-timed staged run of the SAME kernels the fused path executes
+    (gemm_phases reuses them). Returns (raw out, 4-phase seconds).
+
+    Semantics parity note: the reference serializes its phases with
+    cudaDeviceSynchronize to time them (gemmul8.cu:10-18); this does the
+    same with device fences, so a timed call pays phase-boundary syncs the
+    fused call does not. The mod phase is fused into the matmul epilogue
+    on the Pallas path and times ~0 (documented in the bench CSVs)."""
+    import time
+
     p_enc, p_mm, p_mod, p_rec = _g.gemm_phases(ca, cb_, num_moduli, fastmode,
                                                kind)
 
@@ -284,9 +372,6 @@ def gemm_timed(a, b, *, num_moduli: int = 14, fastmode: bool = True,
             o = fn(*args)
         _sync(o)
         times[i] = max(time.perf_counter() - t0 - sync_cost, 0.0) / iters
-    if (kind == "f64" and _backend_has_f64()
-            and not isinstance(a, F64Bits) and not isinstance(b, F64Bits)):
-        out = bits_to_f64(out)
     return out, list(times)
 
 

@@ -253,7 +253,26 @@ def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int,
 
     axis_name: mesh axis the contraction dim is sharded over (inside
     shard_map) — stats then psum/pmax across shards so every shard picks
-    the same globally-valid shift."""
+    the same globally-valid shift.
+
+    Parity note (see pallas.kernels.fast_sft_pallas): the squared norm
+    here is one flat f32 sum; the Pallas kernel accumulates it block-by-
+    block with online rescaling. The two values can differ in the last
+    ulp, so the derived shifts agree except when the shift formula lands
+    within f32 summation-order noise of a floor boundary — then they may
+    legally differ by 1 (both shifts are valid encodings)."""
+    emax, nrm2, anyfinite, k = _fast_stats_multi(parts, axis, mant_bits,
+                                                 axis_name)
+    # the single shared shift formula (the pallas/jnp bit-exactness
+    # invariant depends on one implementation)
+    sft = sft_from_stats(emax, nrm2, anyfinite, k, num_moduli, mant_bits)
+    return sft, emax
+
+
+def _fast_stats_multi(parts, axis: int, mant_bits: int, axis_name=None):
+    """Raw fast-mode statistics (emax, nrm2, anyfinite, k_total) for one or
+    more parts sharing the shift — the jnp reference for the Pallas stats
+    kernel and the input to sft_from_stats."""
     emax = None
     for chunks, exp, sign, normal in parts:
         e = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
@@ -274,10 +293,7 @@ def _fast_sft_multi(parts, axis: int, num_moduli: int, mant_bits: int,
         nrm2 = jax.lax.psum(nrm2, axis_name)
         anyfinite = jax.lax.psum(anyfinite.astype(_I32), axis_name) > 0
         k = k * jax.lax.axis_size(axis_name)
-    # the single shared shift formula (the pallas/jnp bit-exactness
-    # invariant depends on one implementation)
-    sft = sft_from_stats(emax, nrm2, anyfinite, k, num_moduli, mant_bits)
-    return sft, emax
+    return emax, nrm2, anyfinite, k
 
 
 def _fast_sft(chunks, exp, normal, axis: int, num_moduli: int,
@@ -353,6 +369,23 @@ def mag7_f64(bits: F64Bits, axis: int):
     return _extract_mag7(chunks, exp, normal, emax, 53), emax
 
 
+def mag7_sharded(x, axis: int, axis_name, mag_shift: int = 5):
+    """Accurate-mode magnitude extraction when the reduction axis is
+    sharded over `axis_name`: the max exponent is pmax'd across shards
+    BEFORE extraction so every shard aligns to the same global emax."""
+    if isinstance(x, F64Bits):
+        chunks, exp, sign, normal = _f64_fields(x.hi, x.lo)
+        mant_bits = 53
+    else:
+        bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
+        chunks, exp, sign, normal = _f32_fields(bits)
+        mant_bits = 24
+    emax = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis, keepdims=True)
+    emax = jax.lax.pmax(emax, axis_name)
+    return _extract_mag7(chunks, exp, normal, emax, mant_bits,
+                         mag_shift), emax
+
+
 def mag7_f32(x: jax.Array, axis: int):
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
     chunks, exp, sign, normal = _f32_fields(bits)
@@ -408,12 +441,13 @@ def _complex_parts(re, im):
     return ([_f32_fields(br), _f32_fields(bi)], 24)
 
 
-def encode_fast_complex(re, im, num_moduli: int, axis: int):
+def encode_fast_complex(re, im, num_moduli: int, axis: int, axis_name=None):
     """Joint fast-mode encode of a complex operand.
     Returns (re8, im8, sft): (L, *shape) int8 slices for each part and the
-    shared shift."""
+    shared shift. axis_name: mesh axis for cross-shard stats (see
+    _fast_sft_multi)."""
     parts, mant_bits = _complex_parts(re, im)
-    sft, _ = _fast_sft_multi(parts, axis, num_moduli, mant_bits)
+    sft, _ = _fast_sft_multi(parts, axis, num_moduli, mant_bits, axis_name)
     outs = []
     for chunks, exp, sign, normal in parts:
         outs.append(_encode_with_sft(chunks, exp, sign, normal, sft,

@@ -53,22 +53,36 @@ def encode_operand_fast(x: Operand, num_moduli: int, axis: int):
     return enc.encode_fast_f32(x, num_moduli, axis)
 
 
-def accurate_sfts(a: Operand, b: Operand, num_moduli: int):
+def accurate_sfts(a: Operand, b: Operand, num_moduli: int,
+                  use_pallas: bool = False):
     """Accurate-mode ('int8tc') joint shift selection: 7-bit round-up
     magnitudes, one extra int8 GEMM |A|x|B|, then per-row/col shifts from the
-    product-magnitude estimate (reference scaling.hpp:3053-3136)."""
-    if _is_f64(a):
-        mag_a, emax_a = enc.mag7_f64(a, axis=1)
+    product-magnitude estimate (reference scaling.hpp:3053-3136).
+
+    use_pallas=True runs the extraction in fused VMEM kernels and the
+    magnitude GEMM with a fused row/col-max epilogue (no (m, n) int32
+    round trip) — bit-identical to the jnp path (max reductions are
+    order-independent, unlike the fast-mode norm)."""
+    if use_pallas:
+        from ..pallas import kernels as pk
+        from ..pallas import matmul as pm
+
+        mag_a, emax_a = pk.mag7_operand_pallas(a, axis=1)
+        mag_b, emax_b = pk.mag7_operand_pallas(b, axis=0)
+        smax_a, smax_b = pm.magmax_matmul_pallas(mag_a, mag_b)
     else:
-        mag_a, emax_a = enc.mag7_f32(a, axis=1)
-    if _is_f64(b):
-        mag_b, emax_b = enc.mag7_f64(b, axis=0)
-    else:
-        mag_b, emax_b = enc.mag7_f32(b, axis=0)
-    s = jax.lax.dot_general(mag_a, mag_b, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    smax_a = jnp.max(s, axis=1, keepdims=True)
-    smax_b = jnp.max(s, axis=0, keepdims=True)
+        if _is_f64(a):
+            mag_a, emax_a = enc.mag7_f64(a, axis=1)
+        else:
+            mag_a, emax_a = enc.mag7_f32(a, axis=1)
+        if _is_f64(b):
+            mag_b, emax_b = enc.mag7_f64(b, axis=0)
+        else:
+            mag_b, emax_b = enc.mag7_f32(b, axis=0)
+        s = jax.lax.dot_general(mag_a, mag_b, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        smax_a = jnp.max(s, axis=1, keepdims=True)
+        smax_b = jnp.max(s, axis=0, keepdims=True)
     sft_a = enc.accurate_sft(smax_a, emax_a, num_moduli,
                              53 if _is_f64(a) else 24)
     sft_b = enc.accurate_sft(smax_b, emax_b, num_moduli,
@@ -102,14 +116,24 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
         if use_pallas:
             from ..pallas import kernels as pk
             from ..pallas import matmul as pm
+            from ..pallas import megakernel as mk
 
             a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
             b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
-            # uint8-residue epilogue + separate reconstruct measured faster
-            # than the fully-fused CRT-limb matmul (matmul_crt_pallas):
-            # the limb epilogue does not hide behind the MXU and its int32
-            # limb tensor doubles the write traffic (15.7 vs 14.0 TFLOP/s
-            # at 8192^3); keep the residue pipeline as the default
+            m, k = a.shape
+            n = b.shape[1]
+            if mk.fused_reconstruct_ok(m, n, k, num_moduli):
+                # fused matmul+reconstruct: the Barrett mod and the full
+                # CRT reconstruct ride the MXU matmul steps (software-
+                # pipelined by one step / one tile), residues stay in
+                # VMEM — hides the ~15 ms serial reconstruct phase and
+                # the residue HBM round trip at 8192^3 (megakernel.py)
+                return mk.matmul_reconstruct_pallas(
+                    a8, b8, sft_a, sft_b, num_moduli, out_dtype)
+            # fallback for shapes whose operand tiles exceed VMEM:
+            # uint8-residue epilogue + separate reconstruct (faster than
+            # the CRT-limb matmul variant whose epilogue cannot hide —
+            # 15.7 vs 14.0 TFLOP/s at 8192^3, see matmul_crt_pallas)
             r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
             return pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
                                          out_dtype)
@@ -178,7 +202,8 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             if fastmode:
                 sft_b = pk.fast_sft_pallas(bp, num_moduli, axis=0)
             else:
-                sft_a, sft_b = accurate_sfts(a, bp, num_moduli)
+                sft_a, sft_b = accurate_sfts(a, bp, num_moduli,
+                                             use_pallas=True)
                 a8 = None  # accurate shifts depend on B: re-encode A
             if a8 is None:
                 a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
@@ -226,7 +251,7 @@ def _select_sfts(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     if fastmode:
         return (_fast_sft_only(a, num_moduli, axis=1),
                 _fast_sft_only(b, num_moduli, axis=0))
-    return accurate_sfts(a, b, num_moduli)
+    return accurate_sfts(a, b, num_moduli, use_pallas=use_pallas)
 
 
 def _fast_sft_only(x: Operand, num_moduli: int, axis: int):
@@ -269,7 +294,8 @@ def gemm_phases(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                 sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1)
                 sft_b = pk.fast_sft_pallas(b, num_moduli, axis=0)
             else:
-                sft_a, sft_b = accurate_sfts(a, b, num_moduli)
+                sft_a, sft_b = accurate_sfts(a, b, num_moduli,
+                                             use_pallas=True)
             a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
             b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
             return a8, sft_a, b8, sft_b

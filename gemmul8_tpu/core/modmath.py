@@ -29,6 +29,11 @@ def mod_u26(x, m: int, bound_bits: int = 26):
         r = r - jnp.where(r >= _I32(m), _I32(m), _I32(0))
         return r
     assert bound_bits <= 28
+    # the two-fixup budget needs x/m * 2^-24 + f32-cast error/m << 1:
+    # at bound 28 the cast error alone is <= 16, so small m would leave an
+    # unreduced remainder. Tie the contract to the proof (callers on this
+    # branch use the odd moduli, all >= 173).
+    assert m >= 16, f"bound_bits {bound_bits} requires m >= 16, got {m}"
     q = (x.astype(jnp.float32) * jnp.float32(1.0 / m)
          - jnp.float32(1.0)).astype(_I32)
     q = jnp.maximum(q, 0)

@@ -54,6 +54,9 @@ def int8_peak_probe(n: int = 4096, iters: int = 10) -> float:
     """Raw int8 MXU throughput probe (TOPS) — the analog of the reference's
     INT8-GEMM ones-matrix row (testing/test_double.cu:287-309).
 
+    `iters` is a MINIMUM: the probe raises it to at least 30 so one tunnel
+    round trip of jitter cannot swing the per-iteration time (see below).
+
     Uses the repo's chained timing protocol (each iteration's operand
     depends on the previous product; single final readback fence; one
     measured sync round trip subtracted) so the number reflects the chip,

@@ -102,8 +102,16 @@ def override_matmuls(num_moduli: Optional[int] = None,
                      fastmode: Optional[bool] = None,
                      rule: Optional[Callable] = None,
                      profile: Optional[bool] = None):
-    """Context that reroutes jnp.matmul / jnp.dot / the @ operator on
-    eligible 2D f32/f64/complex operands through the emulator."""
+    """Context that reroutes jnp.matmul / jnp.dot / jnp.einsum (2D matmul
+    contractions) / the @ operator on eligible 2D f32/f64/complex operands
+    through the emulator.
+
+    Scope: the patches are PROCESS-GLOBAL, not thread- or call-scoped —
+    any other thread or library code executing an eligible matmul while
+    the context is active is rerouted too (exactly like the reference's
+    LD_PRELOAD hijack, which intercepts every cuBLAS call in the process,
+    ozIMMU_EF/src/cublas.cu:283-300). Nesting and restore are handled;
+    concurrent entry from multiple threads is not supported."""
     c = cfg.get_config()
     nm = num_moduli if num_moduli is not None else c.num_moduli
     fm = fastmode if fastmode is not None else c.fastmode
@@ -112,6 +120,11 @@ def override_matmuls(num_moduli: Optional[int] = None,
 
     orig_matmul = jnp.matmul
     orig_dot = jnp.dot
+    orig_einsum = jnp.einsum
+    orig_dot_general = jax.lax.dot_general
+    # reentrancy guard: the emulator itself issues dot_generals (encode
+    # magnitude GEMM, slice products) — those must NOT be re-intercepted
+    in_route = [False]
 
     def _eligible(a, b):
         if not (hasattr(a, "dtype") and hasattr(b, "dtype")):
@@ -133,40 +146,101 @@ def override_matmuls(num_moduli: Optional[int] = None,
         if leaves:
             np.asarray(jax.device_get(leaves[0].ravel()[0]))
 
-    def _route(a, b, orig, **kwargs):
+    def _route(a, b, orig, op_a="N", op_b="N", **kwargs):
         global _LAST_FUNC
-        if kwargs or not _eligible(a, b):
+        if in_route[0] or kwargs or not _eligible(a, b):
             return orig(a, b, **kwargs)
-        m, k = a.shape
-        _, n = b.shape
-        if k > tables.MAX_K:
+        m, k = a.shape if op_a == "N" else a.shape[::-1]
+        kb, n = b.shape if op_b == "N" else b.shape[::-1]
+        if k > tables.MAX_K or k != kb:
             return orig(a, b)
-        mode = _FORCED_MODE or rule(m, n, k, a.dtype)
-        _LAST_FUNC = f"matmul[{m}x{k}x{n},{a.dtype}]->{mode}"
-        traced = isinstance(a, jax.core.Tracer) or isinstance(
-            b, jax.core.Tracer)
-        t0 = time.perf_counter()
-        if mode == "native":
-            out = orig(a, b)
-            label = "native"
-        else:
-            out = gemm(a, b, num_moduli=nm, fastmode=fm)
-            label = f"emulate-{nm}"
-        if prof:
-            if not traced:
-                _fence(out)  # record wall time, not async-dispatch time
-            _PROFILE_LOG.append(CallRecord(
-                m, n, k, str(a.dtype),
-                label + (":traced" if traced else ""),
-                time.perf_counter() - t0))
-        cfg.log_info(f"intercepted matmul {m}x{k}x{n} {a.dtype} -> {mode}")
-        return out
+        in_route[0] = True
+        try:
+            mode = _FORCED_MODE or rule(m, n, k, a.dtype)
+            _LAST_FUNC = f"matmul[{m}x{k}x{n},{a.dtype}]->{mode}"
+            traced = isinstance(a, jax.core.Tracer) or isinstance(
+                b, jax.core.Tracer)
+            t0 = time.perf_counter()
+            if mode == "native":
+                out = orig(a, b)
+                label = "native"
+            else:
+                out = gemm(a, b, num_moduli=nm, fastmode=fm,
+                           op_a=op_a, op_b=op_b)
+                label = f"emulate-{nm}"
+            if prof:
+                if not traced:
+                    _fence(out)  # record wall time, not dispatch time
+                _PROFILE_LOG.append(CallRecord(
+                    m, n, k, str(a.dtype),
+                    label + (":traced" if traced else ""),
+                    time.perf_counter() - t0))
+            cfg.log_info(
+                f"intercepted matmul {m}x{k}x{n} {a.dtype} -> {mode}")
+            return out
+        finally:
+            in_route[0] = False
 
     def patched_matmul(a, b, **kw):
         return _route(a, b, orig_matmul, **kw)
 
     def patched_dot(a, b, **kw):
         return _route(a, b, orig_dot, **kw)
+
+    def patched_einsum(*args, **kw):
+        # 2-operand einsum spellings of a plain matmul ('ij,jk->ik' and
+        # its transposed variants) are common call forms the reference's
+        # LD_PRELOAD hijack would catch as cublasGemmEx — route them;
+        # anything else passes through untouched.
+        if (in_route[0] or kw or len(args) != 3
+                or not isinstance(args[0], str)):
+            return orig_einsum(*args, **kw)
+        sub = args[0].replace(" ", "")
+        a, b = args[1], args[2]
+        lhs, _, out_sub = sub.partition("->")
+        parts = lhs.split(",")
+        if len(parts) != 2:
+            return orig_einsum(*args, **kw)
+        s1, s2 = parts
+        if (len(s1) != 2 or len(s2) != 2 or len(set(s1)) != 2
+                or len(set(s2)) != 2):
+            return orig_einsum(*args, **kw)
+        shared = set(s1) & set(s2)
+        if len(shared) != 1:
+            return orig_einsum(*args, **kw)
+        c = shared.pop()
+        expected = (s1.replace(c, "") + s2.replace(c, ""))
+        if out_sub and out_sub != expected:
+            return orig_einsum(*args, **kw)
+        if not out_sub and expected != "".join(sorted(expected)):
+            # implicit output is alphabetical; a reversed result is a
+            # transposed matmul — leave it to einsum
+            return orig_einsum(*args, **kw)
+        op_a = "N" if s1[1] == c else "T"
+        op_b = "N" if s2[0] == c else "T"
+        return _route(a, b, lambda x, y, **k2: orig_einsum(*args),
+                      op_a=op_a, op_b=op_b)
+
+    def patched_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                            preferred_element_type=None, **kw):
+        def native(x, y, **k2):
+            return orig_dot_general(
+                lhs, rhs, dimension_numbers, precision=precision,
+                preferred_element_type=preferred_element_type, **kw)
+
+        if (in_route[0] or kw or precision is not None
+                or preferred_element_type is not None):
+            return native(lhs, rhs)
+        try:
+            ((lc, rc), (lb, rb)) = dimension_numbers
+        except (TypeError, ValueError):
+            return native(lhs, rhs)
+        if (tuple(lb) != () or tuple(rb) != () or len(tuple(lc)) != 1
+                or len(tuple(rc)) != 1):
+            return native(lhs, rhs)
+        op_a = "N" if tuple(lc) == (1,) else "T"
+        op_b = "N" if tuple(rc) == (0,) else "T"
+        return _route(lhs, rhs, native, op_a=op_a, op_b=op_b)
 
     # the @ operator does NOT dispatch through jnp.matmul — jax.Array and
     # Tracer hold their own __matmul__ references (captured at import), so
@@ -190,11 +264,15 @@ def override_matmuls(num_moduli: Optional[int] = None,
 
     jnp.matmul = patched_matmul
     jnp.dot = patched_dot
+    jnp.einsum = patched_einsum
+    jax.lax.dot_general = patched_dot_general
     try:
         yield
     finally:
         jnp.matmul = orig_matmul
         jnp.dot = orig_dot
+        jnp.einsum = orig_einsum
+        jax.lax.dot_general = orig_dot_general
         for cls_, f, in_dict in op_patches:
             if in_dict:
                 cls_.__matmul__ = f

@@ -150,6 +150,128 @@ def mp_gemm(a: jax.Array, b: jax.Array, mode: Mode = Mode.AUTO,
     raise ValueError(mode)
 
 
+# ---------------------------------------------------------------------------
+# Imperative exp_stats / dynamic-scaling surface (cuMpSGEMM parity:
+# include/cumpsgemm/cumpsgemm.hpp:39-107 — exp_stats_ext / exp_max_ext
+# buffer ids, get_exp_stats, thresholds, enable/disable, compute-mode
+# level, scale_A/B/C). JAX arrays are immutable, so the scale_* calls
+# return the scaled array instead of mutating in place — the documented
+# deviation from the CUDA in-place API; buffer ids and stats behave the
+# same.
+# ---------------------------------------------------------------------------
+
+
+class ExpStatsHandle:
+    """Stats-buffer ring mirroring the cuMpSGEMM handle's exp_stats state."""
+
+    def __init__(self, ring_size: int = 256):
+        self.enabled = False
+        self.ignore_threshold = 0.0
+        self.underflow_threshold = 2.0 ** -15
+        self.underflow_ratio_tolerance = 0.05
+        self._ring_size = ring_size
+        self._buffers: dict[int, tuple] = {}
+        self._next_id = 1
+        self._current_id = 0
+
+    # -- params / toggles (cumpsgemm.hpp:57-66) --
+    def set_exp_stats_params(self, ignore_threshold: float,
+                             underflow_threshold: float,
+                             underflow_ratio_tolerance: float) -> None:
+        self.ignore_threshold = float(ignore_threshold)
+        self.underflow_threshold = float(underflow_threshold)
+        self.underflow_ratio_tolerance = float(underflow_ratio_tolerance)
+
+    def enable_exp_stats(self) -> None:
+        self.enabled = True
+
+    def disable_exp_stats(self) -> None:
+        self.enabled = False
+
+    # -- stat collection (cumpsgemm.hpp:39-51) --
+    def exp_stats_ext(self, x) -> int:
+        """Count elements below the underflow threshold (ignoring those
+        below ignore_threshold) and stash (lost, total, max|x|) in a new
+        buffer; returns its id."""
+        ax = jnp.abs(jnp.asarray(x, jnp.float32))
+        considered = ax > jnp.float32(self.ignore_threshold)
+        lost = jnp.sum(
+            (considered & (ax < jnp.float32(self.underflow_threshold)))
+            .astype(jnp.int32))
+        total = jnp.sum(considered.astype(jnp.int32))
+        amax = jnp.max(ax)
+        bid = self._store((int(lost), int(total), float(amax)))
+        return bid
+
+    def exp_max_ext(self, x) -> int:
+        ax = jnp.abs(jnp.asarray(x, jnp.float32))
+        bid = self._store((0, int(jnp.size(x)), float(jnp.max(ax))))
+        return bid
+
+    def _store(self, rec) -> int:
+        bid = self._next_id
+        self._next_id += 1
+        self._buffers[bid] = rec
+        self._current_id = bid
+        if len(self._buffers) > self._ring_size:
+            self._buffers.pop(min(self._buffers))
+        return bid
+
+    # -- queries --
+    def get_exp_stats(self, buffer_id: int) -> tuple:
+        lost, total, _ = self._buffers[buffer_id]
+        return lost, total
+
+    def get_max_exp(self, buffer_id: int) -> float:
+        return self._buffers[buffer_id][2]
+
+    def get_current_exp_stats_buffer_id(self) -> int:
+        return self._current_id
+
+    def reset_exp_stats_buffer_id(self) -> None:
+        self._current_id = 0
+
+    def get_exp_stats_compute_mode_level(self, buffer_id: int) -> Mode:
+        """AUTO-mode decision from a stats buffer (the reference returns
+        FP16TCEC vs FP16TCEC_SCALING by underflow ratio)."""
+        lost, total, _ = self._buffers[buffer_id]
+        ratio = lost / max(total, 1)
+        return (Mode.SCALING if ratio > self.underflow_ratio_tolerance
+                else Mode.BF16X3)
+
+    # -- dynamic scaling (cumpsgemm.hpp:72-107; functional, not in-place) --
+    def _scale_factor(self, buffer_id: int):
+        amax = self._buffers[buffer_id][2]
+        if amax <= 0.0:
+            return jnp.float32(1.0)
+        return jnp.exp2(-jnp.floor(jnp.log2(jnp.float32(amax))))
+
+    def scale_A(self, buffer_id: int, a):
+        return jnp.asarray(a, jnp.float32) * self._scale_factor(buffer_id)
+
+    def scale_B(self, buffer_id: int, b):
+        return jnp.asarray(b, jnp.float32) * self._scale_factor(buffer_id)
+
+    def scale_C(self, buffer_a_id: int, buffer_b_id: int, c):
+        inv = (1.0 / self._scale_factor(buffer_a_id)
+               / self._scale_factor(buffer_b_id))
+        return jnp.asarray(c, jnp.float32) * inv
+
+    def reset_scale_A(self, buffer_id: int, a):
+        return jnp.asarray(a, jnp.float32) / self._scale_factor(buffer_id)
+
+    reset_scale_B = reset_scale_A
+
+
+_DEFAULT_HANDLE = ExpStatsHandle()
+
+
+def default_handle() -> ExpStatsHandle:
+    """Module-level handle (the hijack-control pattern: one process-wide
+    handle unless the caller creates their own)."""
+    return _DEFAULT_HANDLE
+
+
 def mp_cgemm(a, b, mode: Mode = Mode.BF16X3):
     """Complex64 mutable-precision GEMM via 4 real mp_gemms.
 

@@ -184,6 +184,150 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
 
 
 # ---------------------------------------------------------------------------
+# Accurate-mode ('int8tc') kernels: per-row/col max exponent + 7-bit
+# round-up magnitude extraction. The jnp mag7 path materializes the chunk
+# intermediates to HBM (the ~50 ms/operand pattern the encode kernel was
+# written to kill); these two kernels keep the whole extraction in VMEM.
+# Reference: extract_A8i_cmpt_sftA_kernel, scaling.hpp:1508-1524.
+# Both reductions are order-independent (max), so parity with the jnp
+# accurate path is bit-exact, not probabilistic.
+# ---------------------------------------------------------------------------
+
+def emax_pallas(x, axis: int, block=None):
+    """Per-row (axis=1) / per-col (axis=0) max biased exponent of a
+    F64Bits / f32 operand, keepdims int32."""
+    is64 = isinstance(x, F64Bits)
+    d0, d1 = x.shape
+    rows, kdim = (d0, d1) if axis == 1 else (d1, d0)
+    if block is None:
+        block = (512, 1024) if axis == 1 else (256, 2048)
+    br, bk = block
+    rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
+    grid = (rp // br, kp // bk)
+    red = axis
+    stat_shape = (br, 1) if axis == 1 else (1, br)
+
+    def prep(arr):
+        pad = ((0, rp - rows), (0, kp - kdim)) if axis == 1 \
+            else ((0, kp - kdim), (0, rp - rows))
+        return jnp.pad(arr, pad)
+
+    if is64:
+        inputs = (prep(x.hi), prep(x.lo))
+    else:
+        bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+        inputs = (prep(bits),)
+
+    def kern(*refs):
+        in_refs = refs[:len(inputs)]
+        out_ref = refs[len(inputs)]
+        e_acc = refs[-1]
+        kk = pl.program_id(1)
+        if is64:
+            _, exp, _, normal = enc._f64_fields(in_refs[0][:], in_refs[1][:])
+        else:
+            _, exp, _, normal = enc._f32_fields(in_refs[0][:])
+        e_blk = jnp.max(jnp.where(normal, exp, _I32(0)), axis=red,
+                        keepdims=True)
+
+        @pl.when(kk == 0)
+        def _():
+            e_acc[:] = e_blk
+
+        @pl.when(kk > 0)
+        def _():
+            e_acc[:] = jnp.maximum(e_acc[:], e_blk)
+
+        @pl.when(kk == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = e_acc[:]
+
+    if axis == 1:
+        data_spec = pl.BlockSpec((br, bk), lambda i, kk: (i, kk),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((br, 1), lambda i, kk: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((rp, 1), jnp.int32)
+    else:
+        data_spec = pl.BlockSpec((bk, br), lambda i, kk: (kk, i),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, br), lambda i, kk: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((1, rp), jnp.int32)
+    out = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[data_spec] * len(inputs),
+        out_specs=out_spec, out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM(stat_shape, jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*inputs)
+    return out[:rows] if axis == 1 else out[:, :rows]
+
+
+def mag7_pallas(x, emax, axis: int, mag_shift: int = 5, block=(256, 512)):
+    """Round-up 7-bit magnitudes given the row/col emax: elementwise VMEM
+    kernel over the operand, (m, k) int8 output (enc._extract_mag7)."""
+    is64 = isinstance(x, F64Bits)
+    mant_bits = 53 if is64 else 24
+    m, k = x.shape
+    bm, bk = block
+    mp, kp = _ceil_to(m, bm), _ceil_to(k, bk)
+    grid = (mp // bm, kp // bk)
+
+    def pad2(a):
+        return jnp.pad(a, ((0, mp - m), (0, kp - k)))
+
+    if axis == 1:
+        emax_p = jnp.pad(emax, ((0, mp - m), (0, 0)))
+        emax_spec = pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        emax_p = jnp.pad(emax, ((0, 0), (0, kp - k)))
+        emax_spec = pl.BlockSpec((1, bk), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM)
+
+    if is64:
+        inputs = (pad2(x.hi), pad2(x.lo), emax_p)
+
+        def kern(hi_ref, lo_ref, e_ref, out_ref):
+            chunks, exp, sign, normal = enc._f64_fields(hi_ref[:], lo_ref[:])
+            out_ref[:] = enc._extract_mag7(chunks, exp, normal, e_ref[:],
+                                           mant_bits, mag_shift)
+    else:
+        bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32),
+                                            jnp.uint32)
+        inputs = (pad2(bits), emax_p)
+
+        def kern(bits_ref, e_ref, out_ref):
+            chunks, exp, sign, normal = enc._f32_fields(bits_ref[:])
+            out_ref[:] = enc._extract_mag7(chunks, exp, normal, e_ref[:],
+                                           mant_bits, mag_shift)
+
+    data_spec = pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[data_spec] * (len(inputs) - 1) + [emax_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, kp), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*inputs)
+    return out[:m, :k]
+
+
+def mag7_operand_pallas(x, axis: int, mag_shift: int = 5):
+    """(magnitudes int8, emax keepdims) for one operand — the Pallas
+    counterpart of enc.mag7_f64 / enc.mag7_f32 (bit-exact)."""
+    emax = emax_pallas(x, axis)
+    return mag7_pallas(x, emax, axis, mag_shift), emax
+
+
+# ---------------------------------------------------------------------------
 # Encode kernel
 # ---------------------------------------------------------------------------
 

@@ -158,6 +158,72 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     return out[:, :m, :n]
 
 
+def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,
+                         block=(1024, 1024, 8192)):
+    """|A| x |B| magnitude GEMM with row/col max epilogue fused: returns
+    (smax_row (m, 1), smax_col (1, n)) int32 — the accurate-mode
+    product-magnitude bounds, WITHOUT materializing the (m, n) int32
+    product to HBM (reference runs one full GemmEx and reduces it,
+    scaling.hpp:3110-3121). Operands are nonnegative 7-bit magnitudes."""
+    m, k = a8.shape
+    _, n = b8.shape
+    bm, bn, bk = block
+    bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
+        min(bk, _ceil_to(k, 128))
+    mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
+    a8p = jnp.pad(a8, ((0, mp - m), (0, kp - k)))
+    b8p = jnp.pad(b8, ((0, kp - k), (0, np_ - n)))
+    mi, nj = mp // bm, np_ // bn
+    grid = (mi, nj, kp // bk)
+
+    def kern(a_ref, b_ref, row_ref, col_ref, acc_ref):
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+        @pl.when(kk == pl.num_programs(2) - 1)
+        def _():
+            # per-(i,j) partial maxes; the tiny cross-tile reduction
+            # happens outside the kernel (products are >= 0, so zero
+            # padding never raises a max)
+            row_ref[:] = jnp.max(acc_ref[:], axis=1, keepdims=True)
+            col_ref[:] = jnp.max(acc_ref[:], axis=0, keepdims=True)
+
+    row, col = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((bm, 1), lambda i, j, kk: (i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, bn), lambda i, j, kk: (i, j),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((mp, nj), jnp.int32),
+                   jax.ShapeDtypeStruct((mi, np_), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * nj + mi * np_,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(a8p, b8p)
+    smax_row = jnp.max(row[:m], axis=1, keepdims=True)
+    smax_col = jnp.max(col[:, :n], axis=0, keepdims=True)
+    return smax_row, smax_col
+
+
 def matmul_crt_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
                       block=(512, 512, 8192)) -> jax.Array:
     """Batched int8 matmul with the FULL per-modulus epilogue fused:

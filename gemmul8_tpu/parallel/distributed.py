@@ -74,19 +74,70 @@ def _encode_local(x, num_moduli, axis, axis_name, use_pallas=False,
     return enc.encode_fast_f32(x, num_moduli, axis, axis_name)
 
 
-def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int,
-                  use_pallas: bool = False):
-    """Per-shard body (inside shard_map). a: local (m/x, k/y); b: local
-    (k/y, n). Returns local C tile (m/x, n/y)."""
-    a8, sft_a = _encode_local(a, num_moduli, axis=1, axis_name="y",
-                              use_pallas=use_pallas, n_shards=ny)
-    b8, sft_b = _encode_local(b, num_moduli, axis=0, axis_name="y",
-                              use_pallas=use_pallas, n_shards=ny)
-    c32_partial = sg.slice_products(a8, b8)          # (L, m/x, n) int32
-    # exact integer reduce-scatter over the k axis, scattering n
+def _gather_b(b):
+    """Reassemble the full-n local B block from the P('y','x') 2D shards:
+    an all_gather over x rides ICI, transient (freed after encode). The
+    PERSISTENT per-shard footprint is the true 2D shard — the L-times-
+    amplified int8 slice tensors are bounded by the n_panel schedule, not
+    by full n (VERDICT r1: replicated-B memory wall)."""
+    if isinstance(b, F64Bits):
+        return F64Bits(jax.lax.all_gather(b.hi, "x", axis=1, tiled=True),
+                       jax.lax.all_gather(b.lo, "x", axis=1, tiled=True))
+    return jax.lax.all_gather(b, "x", axis=1, tiled=True)
+
+
+def _accurate_sfts_sharded(a, b, num_moduli: int):
+    """Accurate-mode ('int8tc') shift selection with the contraction dim
+    sharded over 'y': global emax via pmax, ONE extra int8 magnitude GEMM
+    per shard with its k-partial psum'd over y (exact: mags <= 2^6, so
+    k_total * 2^12 < 2^31), then row/col maxes (cols pmax'd over x)."""
+    mag_a, emax_a = enc.mag7_sharded(a, axis=1, axis_name="y")
+    mag_b, emax_b = enc.mag7_sharded(b, axis=0, axis_name="y")
+    s = jax.lax.dot_general(mag_a, mag_b, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    s = jax.lax.psum(s, "y")
+    smax_a = jnp.max(s, axis=1, keepdims=True)
+    smax_b = jax.lax.pmax(jnp.max(s, axis=0, keepdims=True), "x")
+    is64a = isinstance(a, F64Bits)
+    is64b = isinstance(b, F64Bits)
+    sft_a = enc.accurate_sft(smax_a, emax_a, num_moduli, 53 if is64a else 24)
+    sft_b = enc.accurate_sft(smax_b, emax_b, num_moduli, 53 if is64b else 24)
+    return sft_a, sft_b
+
+
+def _strided_panel(x, s: int, w: int, ny: int):
+    """Panel s of the n axis as the UNION of every y-shard's s-th output
+    sub-block (global cols j*(n/ny) + [s*w, (s+1)*w) for each j): after
+    psum_scatter over y, shard j receives exactly its own contiguous
+    columns, so concatenating panels reproduces the one-shot P('x','y')
+    layout bit-for-bit (a contiguous panel would scatter each panel's
+    cols across shards and permute the global column order)."""
+    def f(arr):
+        kloc, n = arr.shape
+        r = arr.reshape(kloc, ny, n // ny)[:, :, s * w:(s + 1) * w]
+        return r.reshape(kloc, ny * w)
+    if isinstance(x, F64Bits):
+        return F64Bits(f(x.hi), f(x.lo))
+    return f(x)
+
+
+def _encode_with_sft_op(x, sft, num_moduli: int, use_pallas: bool):
+    if use_pallas:
+        from ..pallas import kernels as pk
+
+        return pk.encode_slices_pallas(x, sft, num_moduli,
+                                       axis=1 if sft.shape[1] == 1 else 0)
+    if isinstance(x, F64Bits):
+        return enc.encode_accurate_f64(x, sft, num_moduli)
+    return enc.encode_accurate_f32(x, sft, num_moduli)
+
+
+def _scatter_reconstruct(c32_partial, sft_a, sft_b, num_moduli, out_kind,
+                         use_pallas):
+    """Exact integer reduce-scatter of the k-partials over 'y' (scattering
+    the n axis) + per-shard reconstruct of the owned tile."""
     c32 = jax.lax.psum_scatter(c32_partial, "y", scatter_dimension=2,
-                               tiled=True)           # (L, m/x, n/y)
-    # slice this shard's n-block of the (replicated) column shifts
+                               tiled=True)
     n_local = c32.shape[2]
     j = jax.lax.axis_index("y").astype(jnp.int32)
     sft_b_tile = jax.lax.dynamic_slice(
@@ -94,27 +145,107 @@ def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int,
     if use_pallas:
         from ..pallas import kernels as pk
 
-        # fused mod-reduce + CRT + rounding per shard (the jnp chain would
-        # round-trip every int32 intermediate through HBM)
         return pk.reconstruct_pallas(c32, sft_a, sft_b_tile, num_moduli,
                                      out_kind)
     r = sg.mod_reduce(c32, num_moduli)
     return rec.reconstruct(r, sft_a, sft_b_tile, num_moduli, out_kind)
 
 
+def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int,
+                  use_pallas: bool = False, fastmode: bool = True,
+                  n_panel: int | None = None):
+    """Per-shard body (inside shard_map). a: local (m/x, k/y); b: local 2D
+    shard (k/y, n/x). Returns local C tile (m/x, n/y).
+
+    n_panel: encode/multiply/scatter B in n-panels so the L-amplified int8
+    slice tensors never exceed (L, k/y, n_panel) — the low-memory schedule
+    for beyond-HBM n (fast mode only: column stats are panel-local there;
+    accurate-mode row shifts need the full-n product max)."""
+    b_full = _gather_b(b)
+    if fastmode:
+        a8, sft_a = _encode_local(a, num_moduli, axis=1, axis_name="y",
+                                  use_pallas=use_pallas, n_shards=ny)
+        if n_panel is None:
+            b8, sft_b = _encode_local(b_full, num_moduli, axis=0,
+                                      axis_name="y", use_pallas=use_pallas,
+                                      n_shards=ny)
+            return _scatter_reconstruct(sg.slice_products(a8, b8), sft_a,
+                                        sft_b, num_moduli, out_kind,
+                                        use_pallas)
+        n = b_full.shape[1]
+        if n_panel % ny or (n // ny) % (n_panel // ny):
+            raise ValueError(
+                f"n_panel={n_panel} must divide as n_panel/ny | n/ny")
+        w = n_panel // ny
+        outs = []
+        for s in range(n // n_panel):
+            bp = _strided_panel(b_full, s, w, ny)
+            b8, sft_b = _encode_local(bp, num_moduli, axis=0, axis_name="y",
+                                      use_pallas=use_pallas, n_shards=ny)
+            outs.append(_scatter_reconstruct(
+                sg.slice_products(a8, b8), sft_a, sft_b, num_moduli,
+                out_kind, use_pallas))
+        if out_kind == "f64":
+            return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
+                           jnp.concatenate([o.lo for o in outs], axis=1))
+        return jnp.concatenate(outs, axis=1)
+    # accurate mode (int8tc): one-shot only
+    if n_panel is not None:
+        raise NotImplementedError("n_panel requires fastmode")
+    sft_a, sft_b = _accurate_sfts_sharded(a, b_full, num_moduli)
+    a8 = _encode_with_sft_op(a, sft_a, num_moduli, use_pallas)
+    b8 = _encode_with_sft_op(b_full, sft_b, num_moduli, use_pallas)
+    return _scatter_reconstruct(sg.slice_products(a8, b8), sft_a, sft_b,
+                                num_moduli, out_kind, use_pallas)
+
+
+def _sharded_body_complex(a_re, a_im, b_re, b_im, num_moduli: int,
+                          out_kind: str, ny: int, use_pallas: bool = False):
+    """COMPLEX_BIG_MATRIX_ENCODE under the mesh: Re/Im of each row/col
+    share one joint shift (stats psum/pmax'd over the k-sharded 'y'), the
+    encoded slices are assembled into the [[Re, -Im], [Im, Re]] block form
+    LOCALLY (shape-doubling commutes with k-sharding: the doubled
+    contraction dim is just two stacked k-sharded halves), and ONE int8
+    GEMM of doubled size per modulus runs per shard — same math as the
+    single-device big-matrix path (core.complexgemm:158-170), so the
+    per-shard int32 partials sum exactly over y."""
+    br_full = _gather_b(b_re)
+    bi_full = _gather_b(b_im)
+    a8r, a8i, sft_a = enc.encode_fast_complex(a_re, a_im, num_moduli,
+                                              axis=1, axis_name="y")
+    b8r, b8i, sft_b = enc.encode_fast_complex(br_full, bi_full, num_moduli,
+                                              axis=0, axis_name="y")
+    neg_a8i = (-a8i.astype(jnp.int32)).astype(jnp.int8)
+    top = jnp.concatenate([a8r, neg_a8i], axis=2)
+    bot = jnp.concatenate([a8i, a8r], axis=2)
+    a_blk = jnp.concatenate([top, bot], axis=1)      # (L, 2m/x, 2k/y)
+    b_blk = jnp.concatenate([b8r, b8i], axis=1)      # (L, 2k/y, n)
+    c32_partial = sg.slice_products(a_blk, b_blk)    # (L, 2m/x, n)
+    sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
+    out = _scatter_reconstruct(c32_partial, sft_a2, sft_b, num_moduli,
+                               out_kind, use_pallas)
+    m_local = a_re.shape[0]
+    if out_kind == "f64":
+        return (F64Bits(out.hi[:m_local], out.lo[:m_local]),
+                F64Bits(out.hi[m_local:], out.lo[m_local:]))
+    return out[:m_local], out[m_local:]
+
+
 @lru_cache(maxsize=None)
 def _build_sharded(mesh, num_moduli: int, out_kind: str, is_f64_a: bool,
-                   is_f64_b: bool, use_pallas: bool = False):
+                   is_f64_b: bool, use_pallas: bool = False,
+                   fastmode: bool = True, n_panel=None):
     ny = mesh.shape["y"]
     a_spec = F64Bits(P("x", "y"), P("x", "y")) if is_f64_a else P("x", "y")
-    b_spec = F64Bits(P("y", None), P("y", None)) if is_f64_b else P("y", None)
+    b_spec = F64Bits(P("y", "x"), P("y", "x")) if is_f64_b else P("y", "x")
     if out_kind == "f64":
         out_spec = F64Bits(P("x", "y"), P("x", "y"))
     else:
         out_spec = P("x", "y")
     fn = jax.shard_map(
         partial(_sharded_body, num_moduli=num_moduli, out_kind=out_kind,
-                ny=ny, use_pallas=use_pallas),
+                ny=ny, use_pallas=use_pallas, fastmode=fastmode,
+                n_panel=n_panel),
         mesh=mesh, in_specs=(a_spec, b_spec), out_specs=out_spec,
         check_vma=False)
     return jax.jit(fn)
@@ -122,11 +253,17 @@ def _build_sharded(mesh, num_moduli: int, out_kind: str, is_f64_a: bool,
 
 def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
                  out_dtype: Optional[str] = None,
-                 use_pallas: Optional[bool] = None):
-    """Emulated GEMM 2D-sharded over `mesh` (fast mode).
+                 use_pallas: Optional[bool] = None,
+                 fastmode: bool = True, n_panel: Optional[int] = None):
+    """Emulated GEMM 2D-sharded over `mesh`.
 
-    a: (m, k) F64Bits or f32 array; b: (k, n) same. m must divide by
-    mesh.x, k by mesh.y, n by mesh.y. Returns C sharded P('x','y')."""
+    a: (m, k) F64Bits or f32 array; b: (k, n) same — both operands are
+    2D-sharded (A P('x','y'), B P('y','x')); inside the step B's n axis
+    is re-gathered over ICI transiently. m must divide by mesh.x, k by
+    mesh.y, n by mesh.x and mesh.y. fastmode=False runs the accurate
+    ('int8tc') shift selection with its magnitude GEMM psum'd over the
+    k axis. n_panel bounds the per-shard slice-tensor footprint (fast
+    mode). Returns C sharded P('x','y')."""
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
@@ -134,17 +271,70 @@ def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
     if k > tables.MAX_K:
         raise ValueError("global k exceeds 2^17 int32-exactness bound")
     nx, ny = mesh.shape["x"], mesh.shape["y"]
-    if m % nx or k % ny or n % ny:
+    if m % nx or k % ny or n % ny or n % nx:
         raise ValueError(f"shapes ({m},{k},{n}) must divide mesh {nx}x{ny}")
     is64a, is64b = isinstance(a, F64Bits), isinstance(b, F64Bits)
     out_kind = out_dtype or ("f64" if (is64a or is64b) else "f32")
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    fn = _build_sharded(mesh, num_moduli, out_kind, is64a, is64b, use_pallas)
+    fn = _build_sharded(mesh, num_moduli, out_kind, is64a, is64b, use_pallas,
+                        fastmode, n_panel)
     # place operands
     a_sh = jax.device_put(a, _sharding_for(mesh, P("x", "y"), is64a))
-    b_sh = jax.device_put(b, _sharding_for(mesh, P("y", None), is64b))
+    b_sh = jax.device_put(b, _sharding_for(mesh, P("y", "x"), is64b))
     return fn(a_sh, b_sh)
+
+
+@lru_cache(maxsize=None)
+def _build_sharded_complex(mesh, num_moduli: int, out_kind: str,
+                           is_f64: bool, use_pallas: bool = False):
+    ny = mesh.shape["y"]
+    part = (lambda s: F64Bits(s, s)) if is_f64 else (lambda s: s)
+    a_spec = part(P("x", "y"))
+    b_spec = part(P("y", "x"))
+    out_spec = part(P("x", "y")) if out_kind == "f64" else P("x", "y")
+    fn = jax.shard_map(
+        partial(_sharded_body_complex, num_moduli=num_moduli,
+                out_kind=out_kind, ny=ny, use_pallas=use_pallas),
+        mesh=mesh, in_specs=(a_spec, a_spec, b_spec, b_spec),
+        out_specs=(out_spec, out_spec), check_vma=False)
+    return jax.jit(fn)
+
+
+def gemm_sharded_complex(a, b, mesh: Mesh, num_moduli: int = 14,
+                         out_dtype: Optional[str] = None,
+                         use_pallas: Optional[bool] = None):
+    """Complex emulated GEMM sharded over `mesh` via the big-matrix
+    encoding (fast mode): operands are complex numpy arrays or canonical
+    (re, im) tuples; returns (re, im) sharded P('x','y') in the target
+    real format. k-sharding commutes with the shape-doubling (SURVEY §7):
+    each shard's doubled-k block GEMM partial sums exactly over 'y'."""
+    from ..core.complexgemm import _canon_complex
+
+    a_re, a_im, kind_a = _canon_complex(a) if not isinstance(a, tuple) else \
+        (a[0], a[1], "c128" if isinstance(a[0], F64Bits) else "c64")
+    b_re, b_im, kind_b = _canon_complex(b) if not isinstance(b, tuple) else \
+        (b[0], b[1], "c128" if isinstance(b[0], F64Bits) else "c64")
+    m, k = a_re.shape
+    k2, n = b_re.shape
+    if k != k2:
+        raise ValueError(f"inner dims mismatch: {a_re.shape} x {b_re.shape}")
+    if 2 * k > tables.MAX_K:
+        raise ValueError("2k exceeds the big-matrix int32-exactness bound")
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    if m % nx or k % ny or n % ny or n % nx:
+        raise ValueError(f"shapes ({m},{k},{n}) must divide mesh {nx}x{ny}")
+    is64 = isinstance(a_re, F64Bits)
+    out_kind = out_dtype or ("f64" if "c128" in (kind_a, kind_b) else "f32")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if is64 != isinstance(b_re, F64Bits):
+        raise NotImplementedError("mixed complex widths: canonicalize first")
+    fn = _build_sharded_complex(mesh, num_moduli, out_kind, is64, use_pallas)
+    pa = _sharding_for(mesh, P("x", "y"), is64)
+    pb = _sharding_for(mesh, P("y", "x"), is64)
+    return fn(jax.device_put(a_re, pa), jax.device_put(a_im, pa),
+              jax.device_put(b_re, pb), jax.device_put(b_im, pb))
 
 
 def _sharding_for(mesh, spec, is_f64: bool):
