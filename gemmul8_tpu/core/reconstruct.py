@@ -32,7 +32,9 @@ def accumulate_weighted(r: jax.Array, num_moduli: int, moduli_idx=None,
                         acc=None):
     """acc += sum_j crt_weight[j] * r[j] in 16-bit limbs (canonicalized).
 
-    r: (len(moduli_idx), ...) int32 canonical residues in [0, m_j).
+    r: (len(moduli_idx), ...) int32 canonical residues in [0, m_j) —
+    an array or a list of per-modulus arrays (kernels index residue
+    scratch slices without stacking them).
     Additive over moduli chunks, which is what makes the low-memory
     moduli-chunked schedule possible: residue slices for a chunk are
     encoded, multiplied, folded in here, and then freed before the next
@@ -42,7 +44,7 @@ def accumulate_weighted(r: jax.Array, num_moduli: int, moduli_idx=None,
     w = tables.crt_weight_limbs(num_moduli)  # (L, nl) ints < 2^16
     if moduli_idx is None:
         moduli_idx = tuple(range(num_moduli))
-    out = [jnp.zeros(r.shape[1:], _I32) for _ in range(nl)] \
+    out = [jnp.zeros(r[0].shape, _I32) for _ in range(nl)] \
         if acc is None else list(acc)
     for jj, j in enumerate(moduli_idx):
         rj = r[jj]

@@ -75,6 +75,8 @@ def main():
                     help="per-device tile edge")
     ap.add_argument("--moduli", type=int, default=14)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--csv", type=str, default=None,
+                    help="write rows to this CSV path")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +84,7 @@ def main():
     from gemmul8_tpu.parallel import distributed as dist
 
     ndev_total = len(jax.devices())
+    virtual = jax.default_backend() == "cpu" and ndev_total > 1
     rows = []
     sizes = []
     d = 1
@@ -98,9 +101,36 @@ def main():
               f"{r['tflops']:.3f} TFLOP/s total, "
               f"{r['tflops_per_chip']:.3f}/chip", flush=True)
     if len(rows) > 1:
-        eff = rows[-1]["tflops_per_chip"] / rows[0]["tflops_per_chip"]
-        print(f"weak-scaling efficiency {rows[0]['devices']}->"
+        if virtual:
+            # N virtual devices time-share ONE CPU, so per-chip throughput
+            # necessarily falls ~1/N and is NOT a scaling measurement. The
+            # honest virtual-mesh metric is AGGREGATE throughput vs 1
+            # device: it degrades exactly by the collective/comm overhead
+            # the mesh adds, which is what this harness can validate
+            # without pod hardware (real per-chip efficiency needs a pod
+            # slice + jax.distributed.initialize()).
+            eff = rows[-1]["tflops"] / rows[0]["tflops"]
+            label = ("aggregate-throughput efficiency (virtual mesh: "
+                     "collective-overhead proxy)")
+        else:
+            eff = rows[-1]["tflops_per_chip"] / rows[0]["tflops_per_chip"]
+            label = "weak-scaling per-chip efficiency"
+        print(f"{label} {rows[0]['devices']}->"
               f"{rows[-1]['devices']} devices: {eff*100:.1f}%")
+        for r in rows:
+            r["efficiency_vs_1dev"] = (
+                (r["tflops"] if virtual else r["tflops_per_chip"])
+                / (rows[0]["tflops"] if virtual
+                   else rows[0]["tflops_per_chip"]))
+            r["metric"] = "aggregate" if virtual else "per_chip"
+    if args.csv:
+        import csv as _csv
+
+        with open(args.csv, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
 
 
 if __name__ == "__main__":

@@ -236,3 +236,25 @@ def test_gemm_core_accurate_pallas_end_to_end():
     got = gg.gemm_core(A, B, 14, False, "f64", use_pallas=True)
     assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
     assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+
+
+@pytest.mark.parametrize("bk", [128, 256])
+def test_megakernel_kchunk_parity(bk):
+    """k-chunked grid (KK >= 2): accumulate-across-kk + rider slot
+    schedule must stay bit-exact."""
+    from gemmul8_tpu.pallas import megakernel as mk
+
+    L = 14
+    rng = np.random.default_rng(21)
+    m, k, n = 160, 520, 200
+    a8 = jnp.asarray(rng.integers(-128, 128, (L, m, k), dtype=np.int8))
+    b8 = jnp.asarray(rng.integers(-128, 128, (L, k, n), dtype=np.int8))
+    sft_a = jnp.asarray(rng.integers(-40, 40, (m, 1)).astype(np.int32))
+    sft_b = jnp.asarray(rng.integers(-40, 40, (1, n)).astype(np.int32))
+    r8 = pm.matmul_mod_u8_pallas(a8, b8, L, block=(128, 128, 128))
+    want = pk.reconstruct_pallas(r8.astype(jnp.int32), sft_a, sft_b, L,
+                                 "f64", block=(16, 128))
+    got = mk.matmul_reconstruct_pallas(a8, b8, sft_a, sft_b, L, "f64",
+                                       block=(128, 128, bk))
+    assert np.array_equal(np.asarray(want.hi), np.asarray(got.hi))
+    assert np.array_equal(np.asarray(want.lo), np.asarray(got.lo))

@@ -1,0 +1,65 @@
+"""Opt-in reference-scale accuracy band assertions.
+
+The reference's accuracy protocol is m=n=1024, k up to 8192, phi 0.5
+(GEMMul8/testing/test_double.cu:19-23); its committed GH200 curve at
+k=8192 (BASELINE.md §3) is the primary correctness target. These tests
+assert our curves sit AT OR INSIDE those bands at the reference scale.
+
+Slow (~minutes): run with GEMMUL8_SCALE_TESTS=1, e.g.
+    GEMMUL8_SCALE_TESTS=1 python -m pytest tests/test_scale_bands.py -q
+The quick CI-scale band checks live in tests/test_gemm.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("GEMMUL8_SCALE_TESTS"),
+    reason="reference-scale sweep: set GEMMUL8_SCALE_TESTS=1 (slow)")
+
+# BASELINE.md §3: max relerr at k=8192, phi=0.5 (GH200 CSV, device-
+# independent — same seed/data on all 4 reference GPUs)
+REF_FAST = {8: 1.43e-01, 10: 2.33e-03, 12: 4.95e-06, 13: 2.41e-07,
+            14: 3.47e-08, 15: 7.13e-10, 16: 3.92e-11, 18: 3.59e-14,
+            20: 1.83e-15}
+REF_ACCU = {8: 7.69e-02, 10: 3.51e-04, 12: 9.78e-07, 13: 3.21e-08,
+            14: 4.50e-09, 15: 2.16e-10, 16: 1.87e-11, 18: 1.83e-15,
+            20: 5.61e-16}
+
+
+@pytest.fixture(scope="module")
+def operands():
+    from gemmul8_tpu.bench.matrices import phi_matrix
+    from gemmul8_tpu.bench.native import dd_gemm
+
+    m, k = 1024, 8192
+    a = phi_matrix(m, k, 0.5, seed=123456)
+    b = phi_matrix(k, m, 0.5, seed=123457)
+    ref_hi, ref_lo = dd_gemm(a, b)
+    return a, b, ref_hi, ref_lo
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_dgemm_bands_at_reference_scale(operands, fast):
+    from gemmul8_tpu import gemm
+    from gemmul8_tpu.bench.native import relerr_vs_dd
+    from gemmul8_tpu.types import as_numpy
+
+    a, b, ref_hi, ref_lo = operands
+    bands = REF_FAST if fast else REF_ACCU
+    got = {}
+    for L, band in bands.items():
+        c = as_numpy(gemm(a, b, num_moduli=L, fastmode=fast))
+        mx, _ = relerr_vs_dd(c.astype(np.float64), ref_hi, ref_lo)
+        got[L] = mx
+        # "at or inside" the reference band: 2x slack absorbs the
+        # different random operands (same distribution/size/phi); the
+        # exact integer CRT typically lands orders of magnitude INSIDE
+        assert mx <= band * 2.0, (
+            f"{'fast' if fast else 'accu'}-{L}: {mx:.3e} vs band {band:.3e}")
+    # monotone in num_moduli (down to float64 noise floor)
+    ls = sorted(got)
+    for l0, l1 in zip(ls, ls[1:]):
+        assert got[l1] <= max(got[l0] * 1.5, 5e-16), (l0, l1, got)
