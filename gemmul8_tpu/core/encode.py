@@ -212,7 +212,9 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
         acc = jnp.zeros_like(d[0])
         for i, di in enumerate(d):
             p = (1 << (16 * i)) % m
-            if p != 0:
+            if p == 1:       # 2^0 mod m (and any p==1): skip the multiply
+                acc = acc + di
+            elif p != 0:
                 acc = acc + di * _I32(p)
         base = mod_u26(acc, m, bound)
         # center |v| mod m into the symmetric range, then apply the sign:

@@ -122,15 +122,19 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
             m, k = a.shape
             n = b.shape[1]
-            if mk.fused_reconstruct_ok(m, n, k, num_moduli):
-                # fused matmul+reconstruct: the Barrett mod and the full
-                # CRT reconstruct ride the MXU matmul steps (software-
-                # pipelined by one step / one tile), residues stay in
-                # VMEM — hides the ~15 ms serial reconstruct phase and
-                # the residue HBM round trip at 8192^3 (megakernel.py)
+            import os
+            if (os.environ.get("GEMMUL8_FUSED_RECONSTRUCT") == "1"
+                    and mk.fused_reconstruct_ok(m, n, k, num_moduli)):
+                # opt-in fused matmul+reconstruct megakernel. Measured
+                # SLOWER than the unfused pipeline at 8192^3 (92 vs
+                # 55 ms): its tile-major grid must stream BOTH operand
+                # tiles every step (~370 GB/s sustained), while the
+                # moduli-major kernel below reuses the A tile across the
+                # n axis (~190 GB/s) — the VMEM-resident-residue design
+                # cannot keep the A-reuse. Kept for small problems and
+                # as the measured record (PERF_NOTES.md).
                 return mk.matmul_reconstruct_pallas(
                     a8, b8, sft_a, sft_b, num_moduli, out_dtype)
-            # fallback for shapes whose operand tiles exceed VMEM:
             # uint8-residue epilogue + separate reconstruct (faster than
             # the CRT-limb matmul variant whose epilogue cannot hide —
             # 15.7 vs 14.0 TFLOP/s at 8192^3, see matmul_crt_pallas)

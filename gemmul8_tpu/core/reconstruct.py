@@ -50,7 +50,9 @@ def accumulate_weighted(r: jax.Array, num_moduli: int, moduli_idx=None,
         rj = r[jj]
         for l in range(nl):
             wl = int(w[j, l])
-            if wl:
+            if wl == 1:      # skip the multiply (int32 mul is a VPU op)
+                out[l] = out[l] + rj
+            elif wl:
                 out[l] = out[l] + rj * _I32(wl)
     # partial sums < 20 * 255 * 65535 < 2^29 (+ canonical acc < 2^16): safe;
     # one carry pass canonicalizes.
@@ -83,16 +85,19 @@ def _mod_m_centered(x, num_moduli: int):
     # Undershoot bound: t - t_est <= t*(2*2^-16 + 2^-18 + 2^-22) + 1
     # < 0.15 + 1 < 2 (xf limb truncation and mf granularity are each
     # <= 2^-16 relative, t <= 255*num_moduli < 2^12, plus the floor).
-    # After subtracting t_est*M the remainder is < 2.2*M: two
-    # borrow-select subtraction passes reduce it below M exactly.
-    for _ in range(2):
-        cand, borrow = lb.sub_const(x, m_limbs)
-        x = lb.select(borrow == 0, cand, x)
-    # Center: if X > M/2, value = X - M (negative), magnitude M - X.
+    # After subtracting t_est*M the remainder is < 2.2*M: ONE borrow-
+    # select pass brings it below 1.2*M, and the centering handles the
+    # [M, 1.2M) overhang directly (x - M is a small POSITIVE value
+    # there) — one full subtraction pass cheaper than reduce-then-center.
+    cand, borrow = lb.sub_const(x, m_limbs)
+    x = lb.select(borrow == 0, cand, x)          # x in [0, 1.2*M)
     half_limbs = [int(v) for v in _const_limbs(mm // 2, nl)]
-    neg = _gt_const(x, half_limbs)
-    g = lb.const_minus(m_limbs, x)
-    mag = lb.select(neg, g, x)
+    over, borrow2 = lb.sub_const(x, m_limbs)     # x - M where x >= M
+    ge_m = borrow2 == 0
+    gt_half = _gt_const(x, half_limbs)
+    neg = gt_half & ~ge_m                        # x in (M/2, M): value < 0
+    g = lb.const_minus(m_limbs, x)               # M - x (magnitude there)
+    mag = lb.select(ge_m, over, lb.select(neg, g, x))
     return mag, neg
 
 

@@ -93,7 +93,7 @@ def main():
     if which in ("all", "recon"):
         r8 = jnp.asarray(rng.integers(0, 173, (L, n, n), dtype=np.uint8))
         sft_b = sft.T
-        for blk in [(32, 256), (16, 512), (64, 256)]:
+        for blk in [(32, 256), (64, 512), (128, 512), (64, 1024), (256, 256)]:
             try:
                 f = jax.jit(lambda r, sa, sb, b=blk: pk.reconstruct_pallas(
                     r, sa, sb, L, "f64", block=b))

@@ -68,3 +68,47 @@ def test_sharded_pallas_path_bitexact():
                             num_moduli=12, use_pallas=True)
     assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
     assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+
+
+def test_sharded_accurate_mode(mesh):
+    """Accurate ('int8tc') sharded: magnitude GEMM psum'd over k-shards;
+    result matches the single-device accurate path bit-for-bit (the shift
+    selection reductions are all maxes — order-independent)."""
+    from gemmul8_tpu.core import gemm as gg
+
+    m, k, n = 16, 128, 32
+    a = phi_matrix(m, k, 1.0, seed=300)
+    b = phi_matrix(k, n, 1.0, seed=301)
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    out = dist.gemm_sharded(A, B, mesh, num_moduli=14, fastmode=False)
+    single = gg.gemm_core(A, B, 14, False, "f64", use_pallas=False)
+    assert np.array_equal(np.asarray(single.hi), np.asarray(out.hi))
+    assert np.array_equal(np.asarray(single.lo), np.asarray(out.lo))
+
+
+def test_sharded_n_panel_bitexact(mesh):
+    m, k, n = 16, 128, 32
+    a = phi_matrix(m, k, 0.5, seed=302)
+    b = phi_matrix(k, n, 0.5, seed=303)
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    one = dist.gemm_sharded(A, B, mesh, num_moduli=10)
+    pan = dist.gemm_sharded(A, B, mesh, num_moduli=10, n_panel=8)
+    assert np.array_equal(np.asarray(one.hi), np.asarray(pan.hi))
+    assert np.array_equal(np.asarray(one.lo), np.asarray(pan.lo))
+
+
+def test_sharded_complex_bigmatrix(mesh):
+    from gemmul8_tpu.bench.native import dd_gemm
+
+    m, k, n = 16, 64, 32
+    rng = np.random.default_rng(304)
+    a = phi_matrix(m, k, 0.5, seed=305) + 1j * phi_matrix(m, k, 0.5,
+                                                          seed=306)
+    b = phi_matrix(k, n, 0.5, seed=307) + 1j * phi_matrix(k, n, 0.5,
+                                                          seed=308)
+    zre, zim = dist.gemm_sharded_complex(a, b, mesh, num_moduli=14)
+    got = (bits_to_f64(zre, to_numpy=True)
+           + 1j * bits_to_f64(zim, to_numpy=True))
+    ref = a @ b
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert rel.max() < 1e-9
