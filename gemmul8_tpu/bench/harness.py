@@ -54,6 +54,23 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
     from .matrices import phi_matrix
     from .native import dd_gemm, relerr_vs_dd
 
+    # stream rows to the CSV as they are produced: the TPU sweep runs for
+    # hours of remote compiles and must not lose completed rows on a kill
+    fields = ["phi", "m", "n", "k", "func", "max_relerr", "med_relerr"]
+    sink = None
+    path = None
+    if write_csv:
+        path = _csv_path(f"{dtype}_accuracy", outdir)
+        sink = open(path, "w", newline="")
+        writer = csv.DictWriter(sink, fieldnames=fields)
+        writer.writeheader()
+
+    def emit(row):
+        rows.append(row)
+        if sink is not None:
+            writer.writerow(row)
+            sink.flush()
+
     rows = []
     for phi in phis:
         for k in sizes:
@@ -69,9 +86,9 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
                 if dtype == "d" else (a @ b)
             mx, med = relerr_vs_dd(np.asarray(native, np.float64),
                                    ref_hi, ref_lo)
-            rows.append(dict(phi=phi, m=m, n=m, k=k,
-                             func="DGEMM" if dtype == "d" else "SGEMM",
-                             max_relerr=mx, med_relerr=med))
+            emit(dict(phi=phi, m=m, n=m, k=k,
+                      func="DGEMM" if dtype == "d" else "SGEMM",
+                      max_relerr=mx, med_relerr=med))
             for fast in fastmodes:
                 tag = "OS2-fast" if fast else "OS2-accu"
                 for L in moduli:
@@ -82,17 +99,12 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
                     c = as_numpy(gemm(a, b, num_moduli=L, fastmode=fast))
                     mx, med = relerr_vs_dd(c.astype(np.float64),
                                            ref_hi, ref_lo)
-                    rows.append(dict(phi=phi, m=m, n=m, k=k,
-                                     func=f"{tag}-{L}",
-                                     max_relerr=mx, med_relerr=med))
-    if write_csv:
-        path = _csv_path(f"{dtype}_accuracy", outdir)
-        with open(path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-            w.writeheader()
-            w.writerows(rows)
-        return rows, path
-    return rows, None
+                    emit(dict(phi=phi, m=m, n=m, k=k,
+                              func=f"{tag}-{L}",
+                              max_relerr=mx, med_relerr=med))
+    if sink is not None:
+        sink.close()
+    return rows, path
 
 
 def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
