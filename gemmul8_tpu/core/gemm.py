@@ -111,15 +111,33 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     _check_shapes(a, b)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    sft_a, sft_b = _select_sfts(a, b, num_moduli, fastmode, use_pallas)
-    if moduli_chunk is None or moduli_chunk >= num_moduli:
+    import os
+    one_shot = moduli_chunk is None or moduli_chunk >= num_moduli
+    if (use_pallas and fastmode and one_shot
+            and os.environ.get("GEMMUL8_FUSED_ENCODE") == "1"):
+        # opt-in stats+encode fusion (one HBM read instead of two).
+        # Measured SLOWER at 8192^2 (13.2 vs 11.3 ms isolated): the
+        # full-k-resident block materializes the chunk intermediates at
+        # megabyte granularity and the extra VMEM traffic outweighs the
+        # saved source read (PERF_NOTES.md). Shifts stay bit-identical
+        # to the two-kernel pipeline.
+        sft_a = sft_b = None
+    else:
+        sft_a, sft_b = _select_sfts(a, b, num_moduli, fastmode, use_pallas)
+    if one_shot:
         if use_pallas:
             from ..pallas import kernels as pk
             from ..pallas import matmul as pm
             from ..pallas import megakernel as mk
 
-            a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
-            b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
+            if sft_a is None:
+                a8, sft_a = pk.fast_encode_fused_pallas(a, num_moduli,
+                                                        axis=1)
+                b8, sft_b = pk.fast_encode_fused_pallas(b, num_moduli,
+                                                        axis=0)
+            else:
+                a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
+                b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0)
             m, k = a.shape
             n = b.shape[1]
             import os
@@ -138,7 +156,7 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             # uint8-residue epilogue + separate reconstruct (faster than
             # the CRT-limb matmul variant whose epilogue cannot hide —
             # 15.7 vs 14.0 TFLOP/s at 8192^3, see matmul_crt_pallas)
-            r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
+            r8 = pm.matmul_mod_u8(a8, b8, num_moduli)
             return pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
                                          out_dtype)
         a8 = _encode_idx(a, sft_a, num_moduli, None)
@@ -163,7 +181,7 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                                          moduli_idx=idx)
             b8 = pk.encode_slices_pallas(b, sft_b, num_moduli, axis=0,
                                          moduli_idx=idx)
-            r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli, moduli_idx=idx)
+            r8 = pm.matmul_mod_u8(a8, b8, num_moduli, moduli_idx=idx)
             r = r8.astype(jnp.int32)
         else:
             a8 = _encode_idx(a, sft_a, num_moduli, idx)
@@ -212,7 +230,7 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             if a8 is None:
                 a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
             b8 = pk.encode_slices_pallas(bp, sft_b, num_moduli, axis=0)
-            r8 = pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
+            r8 = pm.matmul_mod_u8(a8, b8, num_moduli)
             outs.append(pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
                                               out_dtype))
         if out_dtype == "f64":
@@ -306,7 +324,7 @@ def gemm_phases(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
 
         @jax.jit
         def phase_matmul(a8, b8):
-            return pm.matmul_mod_u8_pallas(a8, b8, num_moduli)
+            return pm.matmul_mod_u8(a8, b8, num_moduli)
 
         @jax.jit
         def phase_mod(r8):

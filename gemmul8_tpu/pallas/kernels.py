@@ -184,6 +184,130 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
 
 
 # ---------------------------------------------------------------------------
+# Fused fast-mode stats + encode: one kernel, one HBM read of the operand.
+# The separate stats pass costs a full extra read of the source plus a
+# kernel dispatch (~1 ms device each per operand at 8192^2); with the whole
+# contraction extent resident in VMEM the shift can be derived and applied
+# in the same pass. The statistics are computed with the SAME chunked
+# online-rescale merge (and the same chunk widths) as fast_sft_pallas, so
+# the derived shifts are bit-identical to the two-kernel pipeline.
+# ---------------------------------------------------------------------------
+
+def fast_encode_fused_pallas(x, num_moduli: int, axis: int, moduli_idx=None,
+                             block_rows: int | None = None):
+    """Fast-mode shift selection AND residue encode in one VMEM pass.
+
+    x: F64Bits or f32 array (2D). axis=1: per-row shifts for A (m, k);
+    axis=0: per-column shifts for B (k, n). The full contraction extent of
+    each row/column block is resident, so this requires
+    rows_block * kdim * 8 bytes of VMEM (fine up to k ~ 2^17 at the
+    default blocks). Returns (slices (L, d0, d1) int8, sft keepdims i32).
+    """
+    is64 = isinstance(x, F64Bits)
+    mant_bits = 53 if is64 else 24
+    d0, d1 = x.shape
+    rows, kdim = (d0, d1) if axis == 1 else (d1, d0)
+    if block_rows is None:
+        block_rows = 64 if axis == 1 else 128
+    br = min(block_rows, rows)
+    # mirror the fast_sft_pallas merge chunking exactly (bit-parity)
+    stat_chunk = 1024 if axis == 1 else 2048
+    rp, kp = _ceil_to(rows, br), _ceil_to(kdim, stat_chunk)
+    grid = (rp // br,)
+    n_out = num_moduli if moduli_idx is None else len(moduli_idx)
+    nseg = kp // stat_chunk
+
+    def prep(arr):
+        pad = ((0, rp - rows), (0, kp - kdim)) if axis == 1 \
+            else ((0, kp - kdim), (0, rp - rows))
+        return jnp.pad(arr, pad)
+
+    if is64:
+        inputs = (prep(x.hi), prep(x.lo))
+    else:
+        bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+        inputs = (prep(bits),)
+
+    def kern(*refs):
+        in_refs = refs[:len(inputs)]
+        out_ref, sft_ref = refs[len(inputs):]
+        if is64:
+            chunks, exp, sign, normal = enc._f64_fields(in_refs[0][:],
+                                                        in_refs[1][:])
+        else:
+            chunks, exp, sign, normal = enc._f32_fields(in_refs[0][:])
+
+        def seg(t, s):
+            # slice segment s of tensor t along the contraction axis
+            if axis == 1:
+                return t[:, s * stat_chunk:(s + 1) * stat_chunk]
+            return t[s * stat_chunk:(s + 1) * stat_chunk, :]
+
+        e_acc = s_acc = af_acc = None
+        for s in range(nseg):
+            ch_s = [seg(c, s) for c in chunks]
+            exp_s, nrm_s = seg(exp, s), seg(normal, s)
+            e_blk = jnp.max(jnp.where(nrm_s, exp_s, _I32(0)), axis=axis,
+                            keepdims=True)
+            xs = enc._scaled_abs_f32(ch_s, exp_s, e_blk, nrm_s, mant_bits)
+            s_blk = jnp.sum(xs * xs, axis=axis, keepdims=True,
+                            dtype=jnp.float32)
+            af_blk = jnp.any(nrm_s, axis=axis, keepdims=True).astype(_I32)
+            if e_acc is None:
+                e_acc, s_acc, af_acc = e_blk, s_blk, af_blk
+            else:
+                # identical merge rule (and per-block scale reference) as
+                # fast_sft_pallas: squares are formed at the block's own
+                # e_blk and the SUMS are rescaled — same underflow
+                # behavior, bit-identical accumulator sequence
+                e_new = jnp.maximum(e_acc, e_blk)
+                scale_old = jnp.exp2(
+                    (2 * (e_acc - e_new)).astype(jnp.float32))
+                scale_blk = jnp.exp2(
+                    (2 * (e_blk - e_new)).astype(jnp.float32))
+                s_acc = s_acc * scale_old + s_blk * scale_blk
+                e_acc = e_new
+                af_acc = af_acc | af_blk
+        sft = enc.sft_from_stats(e_acc, s_acc, af_acc, kdim, num_moduli,
+                                 mant_bits)
+        sft_ref[:] = sft
+        out_ref[:] = enc._encode_with_sft(chunks, exp, sign, normal, sft,
+                                          num_moduli, mant_bits, moduli_idx)
+
+    if axis == 1:
+        data_spec = pl.BlockSpec((br, kp), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((n_out, br, kp), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        sft_spec = pl.BlockSpec((br, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (jax.ShapeDtypeStruct((n_out, rp, kp), jnp.int8),
+                     jax.ShapeDtypeStruct((rp, 1), jnp.int32))
+    else:
+        data_spec = pl.BlockSpec((kp, br), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((n_out, kp, br), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        sft_spec = pl.BlockSpec((1, br), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = (jax.ShapeDtypeStruct((n_out, kp, rp), jnp.int8),
+                     jax.ShapeDtypeStruct((1, rp), jnp.int32))
+    slices, sft = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[data_spec] * len(inputs),
+        out_specs=(out_spec, sft_spec),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*inputs)
+    if axis == 1:
+        return slices[:, :rows, :kdim], sft[:rows]
+    return slices[:, :kdim, :rows], sft[:, :rows]
+
+
+# ---------------------------------------------------------------------------
 # Accurate-mode ('int8tc') kernels: per-row/col max exponent + 7-bit
 # round-up magnitude extraction. The jnp mag7 path materializes the chunk
 # intermediates to HBM (the ~50 ms/operand pattern the encode kernel was

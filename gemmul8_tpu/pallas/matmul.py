@@ -158,6 +158,135 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     return out[:, :m, :n]
 
 
+def matmul_mod_u8_pipelined(a8: jax.Array, b8: jax.Array, num_moduli: int,
+                            moduli_idx=None,
+                            block=(1024, 512)) -> jax.Array:
+    """matmul_mod_u8_pallas with the Barrett epilogue software-pipelined
+    one n-step behind the MXU: step j computes the dot for tile j into a
+    ping-pong accumulator while the VPU reduces tile j-1 from the other
+    buffer — the two are independent, so Mosaic overlaps them (the
+    unpipelined kernel serializes dot -> epilogue inside each step, which
+    leaves the ~8-op/elem reduction visible: ~3-4 ms at 8192^3/14).
+
+    Requires the full contraction extent in one k-tile (the tuned shape
+    at headline sizes); grid is (L, m-tiles, n-tiles + 1) with the last
+    step running only the final tile's epilogue. Bit-identical output to
+    matmul_mod_u8_pallas."""
+    L, m, k = a8.shape
+    _, _, n = b8.shape
+    if moduli_idx is None:
+        moduli_idx = tuple(range(num_moduli))
+    assert L == len(moduli_idx)
+    bm, bn = block
+    bm, bn = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128))
+    kp = _ceil_to(k, 128)
+    mp, np_ = _ceil_to(m, bm), _ceil_to(n, bn)
+    a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
+    b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
+    nj = np_ // bn
+    grid = (L, mp // bm, nj + 1)
+    mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
+    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
+                         jnp.float32)
+    bias, fix_steps = barrett_fixup_params(kp, moduli_idx)
+
+    def kern(mods_ref, recips_ref, a_ref, b_ref, o_ref, acc0_ref, acc1_ref):
+        l = pl.program_id(0)
+        j = pl.program_id(2)
+        p = j & 1
+
+        def epilogue(acc_ref):
+            mj = mods_ref[l]
+            rj = recips_ref[l]
+            x = acc_ref[:]
+            q = jnp.floor(x.astype(jnp.float32) * rj
+                          - jnp.float32(bias)).astype(_I32)
+            r = x - q * mj
+            for s in fix_steps:
+                r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+            o_ref[0] = r.astype(jnp.uint8)
+
+        def dot(acc_ref):
+            acc_ref[:] = jax.lax.dot_general(
+                a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        # static ping-pong (two scratch refs, parity-gated): the write
+        # target and the read source are provably disjoint refs, so the
+        # scheduler can overlap the VPU epilogue of tile j-1 with the MXU
+        # dot of tile j (a dynamic acc[p] index defeats that analysis —
+        # measured 48.4 ms vs 43.2 unpipelined)
+        @pl.when((j > 0) & (p == 1))
+        def _():
+            epilogue(acc0_ref)
+
+        @pl.when((j > 0) & (p == 0))
+        def _():
+            epilogue(acc1_ref)
+
+        @pl.when((j < nj) & (p == 0))
+        def _():
+            dot(acc0_ref)
+
+        @pl.when((j < nj) & (p == 1))
+        def _():
+            dot(acc1_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, kp),
+                         lambda l, i, j, *refs: (l, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp, bn),
+                         lambda l, i, j, *refs:
+                         (l, 0, jnp.minimum(j, nj - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        # tile j's residues are written during step j+1; block 0 is
+        # revisited at steps 0 and 1 (flushed once, after the real write)
+        out_specs=pl.BlockSpec((1, bm, bn),
+                               lambda l, i, j, *refs:
+                               (l, i, jnp.maximum(j - 1, 0)),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32),
+                        pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, mp, np_), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * mp * np_ * kp,
+            bytes_accessed=L * (mp * kp + kp * np_ + mp * np_),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(mods, recips, a8p, b8p)
+    return out[:, :m, :n]
+
+
+def matmul_mod_u8(a8: jax.Array, b8: jax.Array, num_moduli: int,
+                  moduli_idx=None) -> jax.Array:
+    """Dispatch: the epilogue-pipelined kernel (opt-in, measurement
+    pending — the dynamic-ping-pong variant measured 48.4 vs 43.2 ms at
+    8192^3/14, see PERF_NOTES.md) or the tuned k-tiled kernel."""
+    import os
+
+    _, m, k = a8.shape
+    n = b8.shape[2]
+    bm, bn, bk = 1024, 512, 8192
+    if (os.environ.get("GEMMUL8_MM_PIPELINE") == "1" and k <= bk
+            and (min(bm, _ceil_to(m, 128)) + min(bn, _ceil_to(n, 128)))
+            * _ceil_to(k, 128) <= 24 * 1024 * 1024):
+        return matmul_mod_u8_pipelined(a8, b8, num_moduli, moduli_idx,
+                                       block=(bm, bn))
+    return matmul_mod_u8_pallas(a8, b8, num_moduli, moduli_idx)
+
+
 def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,
                          block=(1024, 1024, 8192)):
     """|A| x |B| magnitude GEMM with row/col max epilogue fused: returns
@@ -177,7 +306,23 @@ def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,
     grid = (mi, nj, kp // bk)
 
     def kern(a_ref, b_ref, row_ref, col_ref, acc_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
         kk = pl.program_id(2)
+
+        # the per-tile max outputs keep their small cross-tile axis WHOLE
+        # in the block (Mosaic requires block dims divisible by 8/128 or
+        # equal to the array dim — a (bm, 1) block over a (mp, nj) array
+        # is rejected on real TPU lowering); each (i, j) tile folds its
+        # max into the right lane with an iota mask. Products are >= 0,
+        # so the j==0/kk==0 zero-init is a neutral max element.
+        @pl.when((i == 0) & (j == 0) & (kk == 0))
+        def _():
+            col_ref[:] = jnp.zeros_like(col_ref)
+
+        @pl.when((j == 0) & (kk == 0))
+        def _():
+            row_ref[:] = jnp.zeros_like(row_ref)
 
         @pl.when(kk == 0)
         def _():
@@ -189,11 +334,12 @@ def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,
 
         @pl.when(kk == pl.num_programs(2) - 1)
         def _():
-            # per-(i,j) partial maxes; the tiny cross-tile reduction
-            # happens outside the kernel (products are >= 0, so zero
-            # padding never raises a max)
-            row_ref[:] = jnp.max(acc_ref[:], axis=1, keepdims=True)
-            col_ref[:] = jnp.max(acc_ref[:], axis=0, keepdims=True)
+            rmax = jnp.max(acc_ref[:], axis=1, keepdims=True)      # (bm, 1)
+            cmax = jnp.max(acc_ref[:], axis=0, keepdims=True)      # (1, bn)
+            jl = jax.lax.broadcasted_iota(jnp.int32, (bm, nj), 1)
+            row_ref[:] = jnp.where(jl == j, jnp.maximum(row_ref[:], rmax),
+                                   row_ref[:])
+            col_ref[pl.ds(i, 1), pl.ds(j * bn, bn)] = cmax
 
     row, col = pl.pallas_call(
         kern, grid=grid,
@@ -203,10 +349,16 @@ def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((bm, 1), lambda i, j, kk: (i, j),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, bn), lambda i, j, kk: (i, j),
-                                memory_space=pltpu.VMEM)),
+        out_specs=(
+            # row partials: block resident per i-tile (index constant in
+            # j/kk), each j folds into its own lane
+            pl.BlockSpec((bm, nj), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # col partials: whole (mi, n) buffer resident for the entire
+            # kernel (tiny) — a block index that varied with the middle
+            # grid dim would be flushed and NOT reloaded on revisit
+            pl.BlockSpec((mi, np_), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((mp, nj), jnp.int32),
                    jax.ShapeDtypeStruct((mi, np_), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],

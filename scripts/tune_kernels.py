@@ -90,10 +90,38 @@ def main():
             except Exception as e:
                 print(f"encode {blk}: FAIL {str(e)[:80]}", flush=True)
 
+    if which in ("all", "fusedenc"):
+        for br in [32, 64, 128, 256]:
+            try:
+                f = jax.jit(lambda x, r=br: pk.fast_encode_fused_pallas(
+                    x, L, axis=1, block_rows=r)[0])
+                t, _ = timeit(f, A)
+                g = jax.jit(lambda x, r=br: pk.fast_encode_fused_pallas(
+                    x, L, axis=0, block_rows=r)[0])
+                t0, _ = timeit(g, A)
+                print(f"fusedenc br={br}: ax1 {t*1e3:7.2f} ms  "
+                      f"ax0 {t0*1e3:7.2f} ms", flush=True)
+            except Exception as e:
+                print(f"fusedenc br={br}: FAIL {str(e)[:80]}", flush=True)
+
+    if which in ("all", "mmpipe"):
+        a8 = jnp.asarray(rng.integers(-128, 128, (L, n, n), dtype=np.int8))
+        b8 = jnp.asarray(rng.integers(-128, 128, (L, n, n), dtype=np.int8))
+        for blk in [(1024, 512), (2048, 256), (4096, 256), (1024, 256)]:
+            try:
+                f = jax.jit(lambda x, y, b=blk: pm.matmul_mod_u8_pipelined(
+                    x, y, L, block=b))
+                t, _ = timeit(f, a8, b8)
+                tops = 2 * L * n**3 / t / 1e12
+                print(f"mmpipe {blk}: {t*1e3:7.2f} ms {tops:6.1f} TOPS",
+                      flush=True)
+            except Exception as e:
+                print(f"mmpipe {blk}: FAIL {str(e)[:80]}", flush=True)
+
     if which in ("all", "recon"):
         r8 = jnp.asarray(rng.integers(0, 173, (L, n, n), dtype=np.uint8))
         sft_b = sft.T
-        for blk in [(32, 256), (64, 512), (128, 512), (64, 1024), (256, 256)]:
+        for blk in [(32, 256), (16, 256), (8, 512), (32, 512), (16, 512), (64, 256)]:
             try:
                 f = jax.jit(lambda r, sa, sb, b=blk: pk.reconstruct_pallas(
                     r, sa, sb, L, "f64", block=b))

@@ -258,3 +258,81 @@ def test_megakernel_kchunk_parity(bk):
                                        block=(128, 128, bk))
     assert np.array_equal(np.asarray(want.hi), np.asarray(got.hi))
     assert np.array_equal(np.asarray(want.lo), np.asarray(got.lo))
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+@pytest.mark.parametrize("L", [6, 14])
+def test_fused_encode_parity(axis, L):
+    """fast_encode_fused_pallas == (fast_sft_pallas -> encode_slices_pallas)
+    for both its outputs. The fused kernel replicates the two-kernel
+    pipeline's chunked online-rescale stats merge, so the sft (and
+    therefore the slices) must be bit-identical to the Pallas pipeline."""
+    a = _mk((96, 160) if axis == 1 else (160, 96), 2.0, seed=7)
+    for x in (f64_to_bits(a), jnp.asarray(a, jnp.float32)):
+        sft_ref = pk.fast_sft_pallas(x, L, axis=axis)
+        sl_ref = np.asarray(pk.encode_slices_pallas(x, sft_ref, L,
+                                                    axis=axis))
+        sl, sft = pk.fast_encode_fused_pallas(x, L, axis=axis)
+        assert np.array_equal(np.asarray(sft_ref), np.asarray(sft))
+        assert np.array_equal(sl_ref, np.asarray(sl))
+
+
+def test_fused_encode_padding_and_zero_rows():
+    """Non-multiple shapes and all-zero rows: the fused kernel's row
+    padding must not perturb stats, and zero rows encode to zero slices."""
+    a = _mk((70, 130), 1.0, seed=8)
+    a[3, :] = 0.0
+    A = f64_to_bits(a)
+    sft_ref = pk.fast_sft_pallas(A, 10, axis=1)
+    sl_ref = np.asarray(pk.encode_slices_pallas(A, sft_ref, 10, axis=1))
+    sl, sft = pk.fast_encode_fused_pallas(A, 10, axis=1)
+    assert np.array_equal(np.asarray(sft_ref), np.asarray(sft))
+    assert np.array_equal(sl_ref, np.asarray(sl))
+    assert (sl_ref[:, 3, :] == 0).all()
+
+
+def test_gemm_core_fused_fast_end_to_end():
+    """gemm_core(use_pallas=True) now runs the fused fast path; it must
+    stay bit-identical to the jnp path (same invariant as before)."""
+    a = _mk((64, 256), 1.0, seed=9)
+    b = _mk((256, 48), 1.0, seed=10)
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    ref = gg.gemm_core(A, B, 14, True, "f64", use_pallas=False)
+    got = gg.gemm_core(A, B, 14, True, "f64", use_pallas=True)
+    assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+    assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+
+
+@pytest.mark.parametrize("shape", [(72, 168, 88), (64, 256, 128)])
+def test_matmul_mod_pipelined_parity(shape):
+    """Software-pipelined epilogue kernel == the k-tiled kernel, including
+    the last n-tile (flushed by the extra grid step) and padding."""
+    m, k, n = shape
+    L = 14
+    rng = np.random.default_rng(3)
+    a8 = jnp.asarray(rng.integers(-128, 128, (L, m, k), dtype=np.int8))
+    b8 = jnp.asarray(rng.integers(-128, 128, (L, k, n), dtype=np.int8))
+    ref = np.asarray(pm.matmul_mod_u8_pallas(a8, b8, L,
+                                             block=(128, 128, 128)))
+    got = np.asarray(pm.matmul_mod_u8_pipelined(a8, b8, L,
+                                                block=(128, 128)))
+    assert np.array_equal(ref, got)
+
+
+def test_magmax_matmul_multitile():
+    """Multi-tile grid for the magnitude-GEMM max epilogue: the row maxes
+    fold into per-tile lanes and the col maxes into a kernel-resident
+    buffer — regression for the (bm, 1) block shape the TPU lowering
+    rejects and the revisit-flush hazard (r2 time sweep crash)."""
+    rng = np.random.default_rng(5)
+    a8 = jnp.asarray(rng.integers(0, 65, (384, 256), dtype=np.int8))
+    b8 = jnp.asarray(rng.integers(0, 65, (256, 384), dtype=np.int8))
+    s = np.asarray(jax.lax.dot_general(
+        a8.astype(jnp.int32), b8.astype(jnp.int32),
+        (((1,), (0,)), ((), ()))))
+    ref_row = s.max(axis=1, keepdims=True)
+    ref_col = s.max(axis=0, keepdims=True)
+    got_row, got_col = pm.magmax_matmul_pallas(a8, b8,
+                                               block=(128, 128, 128))
+    assert np.array_equal(ref_row, np.asarray(got_row))
+    assert np.array_equal(ref_col, np.asarray(got_col))
