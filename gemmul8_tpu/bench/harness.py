@@ -277,6 +277,76 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
     return dt
 
 
+def time_check_complex(sizes=(2048, 4096), num_moduli=(14,),
+                       compute_types=("big", "kara", "classic"),
+                       fastmodes=(True,), phi: float = 0.5,
+                       iters: int = 5, seed: int = 123456,
+                       outdir: str = "results", write_csv: bool = True):
+    """Complex (CGEMM-emulation) throughput sweep — the reference's
+    test_float_complex time protocol (TFLOPS = 2*m*n*k / time, the same
+    element-op convention the reference prints, test_float_complex.cu:355).
+
+    Times the jitted device core (separate Re/Im f32 planes end-to-end;
+    the final host complex64 assembly is excluded and noted — TPU runtimes
+    here cannot hold complex64 device arrays, complexgemm.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import complexgemm as cg
+    from ..types import ComputeType
+    from .matrices import phi_matrix
+    from .timing import chained_time
+
+    ct_map = {"big": ComputeType.COMPLEX_BIG_MATRIX_ENCODE,
+              "kara": ComputeType.COMPLEX_KARATSUBA_MULT,
+              "classic": ComputeType.COMPLEX_CLASSIC_MULT}
+    rows = []
+    for n in sizes:
+        parts = [jnp.asarray(phi_matrix(n, n, phi, seed + i), jnp.float32)
+                 for i in range(3)]
+        ar, ai, bi = parts
+        br_host = phi_matrix(n, n, phi, seed + 3).astype(np.float32)
+        flops = 2.0 * n ** 3
+        for fast in fastmodes:
+            for ct in compute_types:
+                for L in num_moduli:
+                    def step(st, _ct=ct, _L=L, _fast=fast):
+                        x, chk = st
+                        x = x.at[0, 0].add(0 * chk)
+                        ore, oim = cg.gemm_complex_core(
+                            ar, ai, x, bi, _L, _fast, ct_map[_ct], "f32",
+                            jax.default_backend() == "tpu")
+                        return x, jnp.sum(ore[::64, ::64]) + oim[0, 0]
+
+                    try:
+                        f = jax.jit(step, donate_argnums=(0,))
+                        # fresh B plane per measurement: the chained state
+                        # is donated and consumed by the run
+                        br = jnp.asarray(br_host)
+                        dt, _ = chained_time(
+                            lambda st: f(st), (br, jnp.float32(0)), iters)
+                    except Exception as exc:  # pragma: no cover
+                        print(f"[time_check_complex] skip {ct}-{L} at {n}:"
+                              f" {str(exc)[:100]}")
+                        continue
+                    tag = "fast" if fast else "accu"
+                    rows.append(dict(
+                        phi=phi, m=n, n=n, k=n,
+                        func=f"OS2C-{ct}-{tag}-{L}",
+                        seconds=dt, tflops=flops / dt / 1e12))
+                    print(f"{n}^3 {rows[-1]['func']}: "
+                          f"{dt*1e3:.2f} ms  {rows[-1]['tflops']:.2f} "
+                          "TFLOPS", flush=True)
+    if write_csv and rows:
+        path = _csv_path("c_time", outdir)
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        return rows, path
+    return rows, None
+
+
 def watt_check(*args, **kwargs):
     """Power measurement parity stub: the reference samples NVML at 100 ms
     during a >=10 s duty loop (testing/getWatt.hpp:60-196). TPU power

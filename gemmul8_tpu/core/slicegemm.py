@@ -82,8 +82,13 @@ def int8_peak_probe(n: int = 4096, iters: int = 10) -> float:
 
     # enough chained iterations that one tunnel round trip of jitter
     # cannot swing the per-iteration time (a single ~60 ms RTT sample has
-    # tens of ms of variance; 2.8 ms/iter at 8192 needs >= ~30 iters)
-    iters = max(iters, 30)
+    # tens of ms of variance). At small n the per-iteration device time
+    # shrinks below the jitter floor and the subtraction can even push
+    # the probe ABOVE hardware peak (the 4096 row once printed 519 TOPS
+    # on a 394.5-peak chip) — scale iterations so total device time is
+    # >= ~0.1 s regardless of size.
+    est_iter_s = 2 * n ** 3 / 300e12   # conservative 300 TOPS estimate
+    iters = max(iters, 30, int(0.1 / est_iter_s) + 1)
     ai, s = step(a, b)
     fence(s)
     # sync-cost sample: min of 3 (jitter is one-sided)
