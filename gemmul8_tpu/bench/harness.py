@@ -46,13 +46,20 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
                    moduli=range(2, 21), fastmodes=(True, False),
                    m: int = 256, seed: int = 123456, outdir: str = "results",
                    write_csv: bool = True):
-    """Accuracy sweep. dtype 'd' (f64 out) or 'f' (f32 out). Returns rows
+    """Accuracy sweep. dtype 'd' (f64 out), 'f' (f32 out), 'md'
+    (FP64 x FP32 -> FP64, the reference's test_mixed_double protocol) or
+    'mf' (FP64 x FP32 -> FP32, test_mixed_float). Returns rows
     [{phi, m, n, k, func, max_relerr, med_relerr}]. Ground truth: dd GEMM
-    (native C++ oracle when built, numpy dd fallback — bench/native.py)."""
+    of the actual (cast) operands (native C++ oracle when built, numpy dd
+    fallback — bench/native.py)."""
     from .. import gemm
     from ..types import as_numpy
     from .matrices import phi_matrix
     from .native import dd_gemm, relerr_vs_dd
+
+    assert dtype in ("d", "f", "md", "mf")
+    out_is_f32 = dtype in ("f", "mf")
+    max_l = 19 if out_is_f32 else 20
 
     # stream rows to the CSV as they are produced: the TPU sweep runs for
     # hours of remote compiles and must not lose completed rows on a kill
@@ -78,30 +85,127 @@ def accuracy_check(dtype: str = "d", sizes=(1024,), phis=(0.5,),
             b = phi_matrix(k, m, phi, seed + 1)
             if dtype == "f":
                 a = a.astype(np.float32)
-                b = b.astype(np.float32)
+            if dtype in ("f", "md", "mf"):
+                b = b.astype(np.float32)   # md/mf: FP64 x FP32 operands
+            out_dtype = np.float32 if out_is_f32 else np.float64
             ref_hi, ref_lo = dd_gemm(np.asarray(a, np.float64),
                                      np.asarray(b, np.float64))
-            # native baseline row
-            native = np.asarray(a, np.float64) @ np.asarray(b, np.float64) \
-                if dtype == "d" else (a @ b)
+            # native baseline row: the matmul at the OUTPUT precision over
+            # the same (cast) operands — f32 arithmetic for f32 out (the
+            # reference's SGEMM line), f64 for f64 out
+            if out_is_f32:
+                native = a.astype(np.float32) @ b.astype(np.float32)
+            else:
+                native = np.asarray(a, np.float64) @ np.asarray(b,
+                                                               np.float64)
             mx, med = relerr_vs_dd(np.asarray(native, np.float64),
                                    ref_hi, ref_lo)
             emit(dict(phi=phi, m=m, n=m, k=k,
-                      func="DGEMM" if dtype == "d" else "SGEMM",
+                      func="SGEMM" if out_is_f32 else "DGEMM",
                       max_relerr=mx, med_relerr=med))
             for fast in fastmodes:
                 tag = "OS2-fast" if fast else "OS2-accu"
                 for L in moduli:
-                    if dtype == "f" and L > 19:
+                    if L > max_l:
                         continue
                     # as_numpy: on TPU the f64 result is an F64Bits pair —
                     # np.asarray would stack the raw words into uint32
-                    c = as_numpy(gemm(a, b, num_moduli=L, fastmode=fast))
+                    c = as_numpy(gemm(a, b, num_moduli=L, fastmode=fast,
+                                      out_dtype=out_dtype))
                     mx, med = relerr_vs_dd(c.astype(np.float64),
                                            ref_hi, ref_lo)
                     emit(dict(phi=phi, m=m, n=m, k=k,
                               func=f"{tag}-{L}",
                               max_relerr=mx, med_relerr=med))
+    if sink is not None:
+        sink.close()
+    return rows, path
+
+
+def accuracy_check_complex(sizes=(1024,), phis=(0.0, 0.5, 1.0, 1.5),
+                           moduli=range(2, 20),
+                           compute_types=("big", "kara", "classic"),
+                           fastmodes=(True, False), m: int = 256,
+                           seed: int = 123456, outdir: str = "results",
+                           write_csv: bool = True):
+    """Complex (CGEMM-emulation) accuracy sweep — the reference's
+    test_float_complex protocol (complex64 in/out, the three complex
+    strategies, phi in {0,0.5,1,1.5}, moduli 2-19). Ground truth: dd GEMM
+    of the Re/Im parts combined exactly (4 real dd GEMMs)."""
+    from .. import gemm
+    from ..types import ComputeType
+    from .matrices import phi_matrix
+    from .native import dd_gemm, relerr_vs_dd
+
+    ct_map = {"big": ComputeType.COMPLEX_BIG_MATRIX_ENCODE,
+              "kara": ComputeType.COMPLEX_KARATSUBA_MULT,
+              "classic": ComputeType.COMPLEX_CLASSIC_MULT}
+
+    def dd_cgemm(ar, ai, br, bi):
+        """(hi, lo) dd pairs for Re and Im of (ar+i*ai)(br+i*bi): exact
+        to dd precision per real product; combined with Kahan-free adds
+        in f64 — adequate for relerr metrics >= 1e-15."""
+        rr_h, rr_l = dd_gemm(ar, br)
+        ii_h, ii_l = dd_gemm(ai, bi)
+        ri_h, ri_l = dd_gemm(ar, bi)
+        ir_h, ir_l = dd_gemm(ai, br)
+        return ((rr_h - ii_h, rr_l - ii_l), (ri_h + ir_h, ri_l + ir_l))
+
+    fields = ["phi", "m", "n", "k", "func", "max_relerr", "med_relerr"]
+    sink = None
+    path = None
+    if write_csv:
+        path = _csv_path("c_accuracy", outdir)
+        sink = open(path, "w", newline="")
+        writer = csv.DictWriter(sink, fieldnames=fields)
+        writer.writeheader()
+    rows = []
+
+    def emit(row):
+        rows.append(row)
+        if sink is not None:
+            writer.writerow(row)
+            sink.flush()
+
+    def cerr(zre, zim, refs):
+        (reh, rel_), (imh, iml) = refs
+        mxr, medr = relerr_vs_dd(zre, reh, rel_)
+        mxi, medi = relerr_vs_dd(zim, imh, iml)
+        # elementwise complex relerr would need |.|; the per-part max is
+        # the same acceptance statistic the bands use
+        return max(mxr, mxi), max(medr, medi)
+
+    for phi in phis:
+        for k in sizes:
+            ar = phi_matrix(m, k, phi, seed)
+            ai = phi_matrix(m, k, phi, seed + 1)
+            br = phi_matrix(k, m, phi, seed + 2)
+            bi = phi_matrix(k, m, phi, seed + 3)
+            a = (ar + 1j * ai).astype(np.complex64)
+            b = (br + 1j * bi).astype(np.complex64)
+            refs = dd_cgemm(np.asarray(a.real, np.float64),
+                            np.asarray(a.imag, np.float64),
+                            np.asarray(b.real, np.float64),
+                            np.asarray(b.imag, np.float64))
+            nat = a @ b
+            mx, med = cerr(np.asarray(nat.real, np.float64),
+                           np.asarray(nat.imag, np.float64), refs)
+            emit(dict(phi=phi, m=m, n=m, k=k, func="CGEMM",
+                      max_relerr=mx, med_relerr=med))
+            for fast in fastmodes:
+                for ct in compute_types:
+                    for L in moduli:
+                        if L > 19:
+                            continue
+                        z = np.asarray(gemm(a, b, num_moduli=L,
+                                            fastmode=fast,
+                                            compute_type=ct_map[ct]),
+                                       np.complex128)
+                        tag = "fast" if fast else "accu"
+                        mx, med = cerr(z.real.copy(), z.imag.copy(), refs)
+                        emit(dict(phi=phi, m=m, n=m, k=k,
+                                  func=f"OS2C-{ct}-{tag}-{L}",
+                                  max_relerr=mx, med_relerr=med))
     if sink is not None:
         sink.close()
     return rows, path

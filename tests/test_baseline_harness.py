@@ -94,3 +94,47 @@ def test_latms_condition_number():
     ref = a @ b
     denom = np.maximum(np.abs(ref), np.abs(a) @ np.abs(b) * 1e-12)
     assert np.median(np.abs(c - ref) / denom) < 1e-13
+
+
+def test_accuracy_check_mixed_dtypes(tmp_path):
+    """'md'/'mf' sweeps (test_mixed_double/test_mixed_float protocol):
+    FP64 x FP32 operands; emulation must track the output precision."""
+    from gemmul8_tpu.bench.harness import accuracy_check
+
+    rows, _ = accuracy_check(dtype="md", sizes=(256,), phis=(0.5,),
+                             moduli=(14,), m=64, fastmodes=(True,),
+                             outdir=str(tmp_path))
+    emu = [r for r in rows if r["func"] == "OS2-fast-14"][0]
+    assert emu["max_relerr"] < 1e-10   # f64 out: b's f32 cast is exact
+    rows, _ = accuracy_check(dtype="mf", sizes=(256,), phis=(0.5,),
+                             moduli=(14,), m=64, fastmodes=(True,),
+                             outdir=str(tmp_path))
+    emu = [r for r in rows if r["func"] == "OS2-fast-14"][0]
+    nat = [r for r in rows if r["func"] == "SGEMM"][0]
+    assert emu["max_relerr"] < 1e-6    # f32-out rounding floor
+    assert emu["max_relerr"] < nat["max_relerr"]
+
+
+def test_accuracy_check_complex(tmp_path):
+    """CGEMM sweep (test_float_complex protocol): all three strategies
+    beat native complex64 at 8 moduli."""
+    from gemmul8_tpu.bench.harness import accuracy_check_complex
+
+    rows, _ = accuracy_check_complex(sizes=(128,), phis=(0.5,),
+                                     moduli=(8,), m=48,
+                                     fastmodes=(True,),
+                                     outdir=str(tmp_path))
+    nat = [r for r in rows if r["func"] == "CGEMM"][0]
+    for ct in ("big", "kara", "classic"):
+        emu = [r for r in rows if r["func"] == f"OS2C-{ct}-fast-8"][0]
+        assert emu["max_relerr"] < nat["max_relerr"]
+
+
+def test_time_check_complex_rows(tmp_path):
+    from gemmul8_tpu.bench.harness import time_check_complex
+
+    rows, path = time_check_complex(sizes=(128,), num_moduli=(6,),
+                                    compute_types=("kara",), iters=2,
+                                    outdir=str(tmp_path))
+    assert rows and rows[0]["func"] == "OS2C-kara-fast-6"
+    assert rows[0]["seconds"] > 0
