@@ -42,6 +42,30 @@ def main():
             fastmodes=(True, False), m=1024, outdir=outdir)
         print(f"SGEMM sweep -> {path} ({len(rows)} rows)", flush=True)
         paths.append(path)
+    if which in ("c", "all"):
+        from gemmul8_tpu.bench.harness import accuracy_check_complex
+
+        # reference protocol compiles ONE strategy per binary
+        # (COMPUTE_TYPE macro, test_float_complex.cu:24); mirror that
+        # compile economy: full moduli sweep on big-matrix, spot checks
+        # on kara/classic (each complex graph is a fresh remote compile)
+        rows, path = accuracy_check_complex(
+            sizes=(1024,), phis=(0.0, 0.5, 1.0, 1.5),
+            moduli=range(2, 20), compute_types=("big",),
+            fastmodes=(True, False), m=1024, outdir=outdir)
+        print(f"CGEMM big sweep -> {path} ({len(rows)} rows)", flush=True)
+        rows, path = accuracy_check_complex(
+            sizes=(1024,), phis=(0.5,), moduli=(8, 12, 14),
+            compute_types=("kara", "classic"),
+            fastmodes=(True, False), m=1024, outdir=outdir)
+        print(f"CGEMM kara/classic spots -> {path} ({len(rows)} rows)",
+              flush=True)
+    if which in ("md", "mf"):
+        rows, path = accuracy_check(
+            dtype=which, sizes=(1024, 8192), phis=(0.5, 2.0),
+            moduli=range(2, 21), fastmodes=(True, False), m=1024,
+            outdir=outdir)
+        print(f"{which} sweep -> {path} ({len(rows)} rows)", flush=True)
     # plots alongside
     try:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
