@@ -129,6 +129,23 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             from ..pallas import kernels as pk
             from ..pallas import matmul as pm
             from ..pallas import megakernel as mk
+            from ..pallas import pipelined as pp
+
+            pipe = pp.pipeline_mode()
+            cfg = pp.choose_panels(a.shape[0], b.shape[1], a.shape[1],
+                                   num_moduli, encode_rider=pipe == 2) \
+                if pipe else None
+            if (cfg and fastmode and out_dtype == "f64"
+                    and sft_a is not None
+                    and isinstance(a, F64Bits) and isinstance(b, F64Bits)):
+                # panel/rider pipeline: the CRT reconstruct of panel p-1
+                # (and, at level 2, the encode of A-panel p+1) rides
+                # inside panel p's matmul kernel as independent VPU work
+                # the MXU hides (bit-identical; pallas/pipelined.py)
+                return pp.gemm_fast_pipelined_f64(a, b, num_moduli,
+                                                  panel_m=cfg[0], bn=cfg[1],
+                                                  sfts=(sft_a, sft_b),
+                                                  encode_rider=pipe == 2)
 
             if sft_a is None:
                 a8, sft_a = pk.fast_encode_fused_pallas(a, num_moduli,
@@ -214,6 +231,7 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     if use_pallas:
         from ..pallas import kernels as pk
         from ..pallas import matmul as pm
+        from ..pallas import pipelined as pp
 
         sft_a = pk.fast_sft_pallas(a, num_moduli, axis=1) if fastmode else None
         a8 = None
@@ -229,6 +247,18 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                 a8 = None  # accurate shifts depend on B: re-encode A
             if a8 is None:
                 a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
+            cfg = pp.choose_panels(a.shape[0], bp.shape[1], a.shape[1],
+                                   num_moduli) \
+                if pp.pipeline_mode() else None
+            if (cfg and fastmode and out_dtype == "f64"
+                    and isinstance(a, F64Bits)):
+                # per-column-panel m-pipeline: A encoded once and shared;
+                # the reconstruct rider hides all but the last m-panel's
+                # CRT (bit-identical; pallas/pipelined.py)
+                outs.append(pp.gemm_fast_pipelined_f64(
+                    a, bp, num_moduli, panel_m=cfg[0], bn=cfg[1],
+                    sfts=(sft_a, sft_b), a8=a8))
+                continue
             b8 = pk.encode_slices_pallas(bp, sft_b, num_moduli, axis=0)
             r8 = pm.matmul_mod_u8(a8, b8, num_moduli)
             outs.append(pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,

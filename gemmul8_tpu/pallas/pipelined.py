@@ -1,0 +1,382 @@
+"""Panel-pipelined matmul with the CRT reconstruct (and optionally the
+next panel's encode) as riders.
+
+On TPU the per-call phases execute serially (one core, one kernel at a
+time), so the ~12 ms of reconstruct VPU work at 8192^3/14 sits naked on
+the critical path after the ~43 ms MXU matmul. The measured fact that
+motivates this module (PERF_NOTES.md): *independent* VPU work injected
+into the matmul kernel hides at ~70% marginal rate — but the reconstruct
+of an output tile depends on ALL of that tile's per-modulus products, so
+inside one monolithic matmul there is nothing independent to inject.
+
+The panel pipeline manufactures the independence: split the m axis into
+panels; the kernel invocation that computes panel p's residues carries,
+as riders spread across its grid steps,
+  - the full CRT reconstruct of panel p-1 (whose residues are complete),
+  - optionally the int8 encode of A-panel p+1 (whose source and shifts
+    are ready; the a8 panels ping-pong between calls).
+Only the LAST panel's reconstruct runs bare, and only the FIRST panel's
+encode. When both riders are active they interleave by grid-step parity
+so each step carries at most one rider tile. Operand traffic is
+unchanged versus the monolithic kernel — the panel calls index into the
+same full b8 array (B streamed once per panel, exactly as the monolithic
+kernel streams it once per m-tile) and A slices are read once per
+modulus either way.
+
+This replaces the reference's serialized phase structure
+(gemmul8.cu:259-292: GemmEx loop, then inverse_scaling) with a
+TPU-native software pipeline; the arithmetic is bit-identical to the
+unpipelined path (same encode/_rec_body/Barrett bodies — encode and the
+Barrett epilogue are elementwise-exact so tiling cannot change them, and
+the reconstruct rider reuses _rec_body verbatim).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import tables
+from ..core import encode as enc
+from ..types import F64Bits
+from .kernels import _rec_body, reconstruct_pallas, encode_slices_pallas, \
+    fast_sft_pallas
+from .matmul import barrett_fixup_params
+
+_I32 = jnp.int32
+
+
+def _ceil_to(x, a):
+    return (x + a - 1) // a * a
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _rider_tiles(pm: int, np_: int, steps: int):
+    """Rider tile shape (brm, brn) covering a (pm, np_) panel with at most
+    `steps` tiles (one tile per grid step), lane-friendly (brn mult of 128,
+    brm mult of 8). Prefers the smallest tiles that fit, so the VPU work
+    spreads evenly across the matmul steps. Returns None if no shape fits."""
+    for brn in (512, 1024, 2048, 256, 128):
+        if np_ % brn:
+            continue
+        ncols = np_ // brn
+        for brm in (32, 64, 128, 256, 512, 1024):
+            if pm % brm:
+                continue
+            if (pm // brm) * ncols <= steps:
+                return brm, brn
+    return None
+
+
+def pipeline_mode() -> int:
+    """Pipeline gate from GEMMUL8_PIPELINE: 0 = off, 1 = reconstruct
+    rider, 2 = reconstruct + encode riders. The default is the variant
+    that measured fastest at the headline size (scripts/probe_pipeline.py
+    on the real chip; PERF_NOTES.md)."""
+    import os
+    v = os.environ.get("GEMMUL8_PIPELINE", "0")
+    return int(v) if v in ("0", "1", "2") else 0
+
+
+def pipeline_applicable(m: int, n: int, k: int, num_moduli: int,
+                        panel_m: int = 1024, bn: int = 512,
+                        encode_rider: bool = False) -> bool:
+    """The rider pipeline targets the large fast-mode f64 one-shot path.
+    Shape gates keep the kernel simple: panel-aligned m, lane-aligned n,
+    full-k-resident A panel within VMEM. With encode_rider the middle
+    panels carry TWO riders interleaved by step parity, so each rider's
+    tiling must fit in half the grid steps."""
+    if m % panel_m or m // panel_m < 2:
+        return False
+    if n % bn or k % 128 or k > 16384:
+        return False
+    steps = num_moduli * (n // bn)
+    if encode_rider:
+        return (_rider_tiles(panel_m, n, steps // 2) is not None
+                and _rider_tiles(panel_m, k, steps // 2) is not None
+                and _rider_tiles(panel_m, k, steps) is not None)
+    return _rider_tiles(panel_m, n, steps) is not None
+
+
+def choose_panels(m: int, n: int, k: int, num_moduli: int,
+                  encode_rider: bool = False):
+    """Pick (panel_m, bn) for the pipeline, preferring the tuned headline
+    configuration (1024, 512; scripts/tune_kernels.py) and falling back to
+    smaller panels for smaller m. Returns None when no configuration
+    applies."""
+    for pm_ in (1024, 512, 256):
+        for bn_ in (512, 256, 128):
+            if pipeline_applicable(m, n, k, num_moduli, pm_, bn_,
+                                   encode_rider):
+                return pm_, bn_
+    return None
+
+
+def _sched(nt: int, tiles: int, phase: int, nphases: int):
+    """Grid-step -> rider-tile schedule. With nphases=1 every step s maps
+    to tile min(s, tiles-1) (late steps harmlessly rewrite the final tile
+    — its buffer still holds the computed data, and inactive steps never
+    touch it). With nphases=2 the riders interleave by parity: phase-p
+    steps carry tile s//2."""
+    t_max = tiles - 1
+
+    def tidx(l, j):
+        return jnp.minimum((l * nt + j) // nphases, t_max)
+
+    def active(l, j):
+        s = l * nt + j
+        return jnp.logical_and(s % nphases == phase,
+                               s // nphases <= t_max)
+
+    return tidx, active
+
+
+def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
+                      sft_a, sft_b, num_moduli: int,
+                      panel_m: int = 1024, bn: int = 512, *,
+                      a_src: F64Bits | None = None, next_panel: int = -1):
+    """One pipeline stage: int8 matmul (+Barrett uint8 epilogue) of one
+    A panel against all of B, with up to two riders on the grid steps:
+      - CRT reconstruct of panel `prev_panel` (skipped when r_prev is
+        None — the first panel),
+      - int8 encode of A-panel `next_panel` from the f64 source `a_src`
+        (skipped when a_src is None — the last panel, or rec-only mode).
+
+    a8: (L, panel_m, k) int8 — this panel's slices — OR the full
+    (L, m, k) array (rec-only mode; the panel is selected via a
+    prefetched scalar so every stage shares one compiled kernel).
+    b8: (L, k, n) int8; r_prev: (L, panel_m, n) uint8 residues of the
+    previous panel; sft_a: (m, 1) int32 full shift vector; sft_b: (1, n).
+    Returns (res_panel (L, panel_m, n) uint8, hi_prev, lo_prev, a8_next)
+    — hi/lo are (panel_m, n) uint32 or None when r_prev is None; a8_next
+    is (L, panel_m, next-panel slices) int8 or None when a_src is None.
+    """
+    L = a8.shape[0]
+    k = a8.shape[2]
+    n = b8.shape[2]
+    a8_full = a8.shape[1] != panel_m
+    assert k % 128 == 0 and n % bn == 0 and a8.shape[1] % panel_m == 0
+    nt = n // bn
+    steps = L * nt
+    rec_rider = r_prev is not None
+    enc_rider = a_src is not None
+    nphases = 2 if (rec_rider and enc_rider) else 1
+    # panel indices ride in as prefetched scalars so pipeline stages with
+    # the same rider structure share ONE compiled kernel (a static
+    # capture would specialize the Mosaic payload per panel)
+    pidx = jnp.asarray([panel, max(next_panel, 0)], jnp.int32)
+    mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
+    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in range(L)],
+                         jnp.float32)
+    bias, fix_steps = barrett_fixup_params(k, tuple(range(L)))
+
+    if rec_rider:
+        brm, brn = _rider_tiles(panel_m, n, steps // nphases)
+        ncols = n // brn
+        r_tidx, r_active = _sched(nt, (panel_m // brm) * ncols, 0, nphases)
+        sa_prev = jax.lax.dynamic_slice_in_dim(
+            sft_a, prev_panel * panel_m, panel_m, axis=0)
+    if enc_rider:
+        berm, berk = _rider_tiles(panel_m, k, steps // nphases)
+        ekcols = k // berk
+        e_tidx, e_active = _sched(nt, (panel_m // berm) * ekcols,
+                                  nphases - 1, nphases)
+        erows = panel_m // berm
+
+    def kern(*refs):
+        it = iter(refs)
+        pidx_ref, mods_ref, recips_ref = next(it), next(it), next(it)
+        a_ref, b_ref = next(it), next(it)
+        if rec_rider:
+            r_ref, sa_ref, sb_ref = next(it), next(it), next(it)
+        if enc_rider:
+            ahi_ref, alo_ref, sae_ref = next(it), next(it), next(it)
+        o_ref = next(it)
+        if rec_rider:
+            hi_ref, lo_ref = next(it), next(it)
+        if enc_rider:
+            a8n_ref = next(it)
+        l = pl.program_id(0)
+        j = pl.program_id(1)
+        x = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        mj = mods_ref[l]
+        rj = recips_ref[l]
+        q = jnp.floor(x.astype(jnp.float32) * rj
+                      - jnp.float32(bias)).astype(_I32)
+        r = x - q * mj
+        for s in fix_steps:
+            r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+        o_ref[0] = r.astype(jnp.uint8)
+
+        if rec_rider:
+            @pl.when(r_active(l, j))
+            def _():
+                hi, lo = _rec_body(r_ref[:], sa_ref[:], sb_ref[:],
+                                   num_moduli, "f64")
+                hi_ref[:] = hi
+                lo_ref[:] = lo
+        if enc_rider:
+            @pl.when(e_active(l, j))
+            def _():
+                chunks, exp, sign, normal = enc._f64_fields(ahi_ref[:],
+                                                            alo_ref[:])
+                a8n_ref[:] = enc._encode_with_sft(
+                    chunks, exp, sign, normal, sae_ref[:], num_moduli,
+                    53, None)
+
+    if a8_full:
+        a_spec = pl.BlockSpec((1, panel_m, k),
+                              lambda l, j, pidx_r, *refs: (l, pidx_r[0], 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        a_spec = pl.BlockSpec((1, panel_m, k),
+                              lambda l, j, *refs: (l, 0, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        a_spec,
+        pl.BlockSpec((1, k, bn),
+                     lambda l, j, *refs: (l, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [pl.BlockSpec((1, panel_m, bn),
+                              lambda l, j, *refs: (l, 0, j),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((L, panel_m, n), jnp.uint8)]
+    operands = [a8, b8]
+    if rec_rider:
+        in_specs += [
+            pl.BlockSpec((L, brm, brn),
+                         lambda l, j, *refs: (0, r_tidx(l, j) // ncols,
+                                              r_tidx(l, j) % ncols),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((brm, 1),
+                         lambda l, j, *refs: (r_tidx(l, j) // ncols, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, brn),
+                         lambda l, j, *refs: (0, r_tidx(l, j) % ncols),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs += [
+            pl.BlockSpec((brm, brn),
+                         lambda l, j, *refs: (r_tidx(l, j) // ncols,
+                                              r_tidx(l, j) % ncols),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((brm, brn),
+                         lambda l, j, *refs: (r_tidx(l, j) // ncols,
+                                              r_tidx(l, j) % ncols),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [jax.ShapeDtypeStruct((panel_m, n), jnp.uint32),
+                       jax.ShapeDtypeStruct((panel_m, n), jnp.uint32)]
+        operands += [r_prev, sa_prev, sft_b]
+    if enc_rider:
+        # source blocks offset into the NEXT panel's rows via the
+        # prefetched panel index (no host-side slice copies)
+        def _esrc(l, j, pidx_r, *refs):
+            t = e_tidx(l, j)
+            return (pidx_r[1] * erows + t // ekcols, t % ekcols)
+
+        in_specs += [
+            pl.BlockSpec((berm, berk), _esrc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((berm, berk), _esrc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((berm, 1),
+                         lambda l, j, pidx_r, *refs:
+                         (pidx_r[1] * erows + e_tidx(l, j) // ekcols, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs += [
+            pl.BlockSpec((num_moduli, berm, berk),
+                         lambda l, j, *refs: (0, e_tidx(l, j) // ekcols,
+                                              e_tidx(l, j) % ekcols),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [jax.ShapeDtypeStruct((num_moduli, panel_m, k),
+                                            jnp.int8)]
+        operands += [a_src.hi, a_src.lo, sft_a]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(L, nt),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * panel_m * n * k,
+            bytes_accessed=L * (panel_m * k + k * n + panel_m * n),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(pidx, mods, recips, *operands)
+    out = list(out) if isinstance(out, (tuple, list)) else [out]
+    res = out.pop(0)
+    hi = lo = a8n = None
+    if rec_rider:
+        hi, lo = out.pop(0), out.pop(0)
+    if enc_rider:
+        a8n = out.pop(0)
+    return res, hi, lo, a8n
+
+
+def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
+                            panel_m: int = 1024, bn: int = 512,
+                            sfts=None, encode_rider: bool = False,
+                            a8=None) -> F64Bits:
+    """Fast-mode f64 GEMM emulation with the panel/rider pipeline.
+    Bit-identical to gemm_core's one-shot pallas path (same stats, encode,
+    Barrett, and reconstruct bodies); only the schedule differs.
+    sfts: optional precomputed (sft_a, sft_b) from the caller's stats pass.
+    encode_rider: additionally pipeline A's per-panel encode into the
+    previous panel's matmul (only panel 0 is encoded up front).
+    a8: optional pre-encoded (L, m, k) slices of A — used by the
+    column-panel schedule, which encodes A once and reuses it across
+    panels (mutually exclusive with encode_rider)."""
+    m, k = a.shape
+    n = b.shape[1]
+    P = m // panel_m
+    if sfts is not None:
+        sft_a, sft_b = sfts
+    else:
+        sft_a = fast_sft_pallas(a, num_moduli, axis=1)
+        sft_b = fast_sft_pallas(b, num_moduli, axis=0)
+    b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0)
+    if a8 is not None:
+        assert not encode_rider
+        a8_p = a8
+    elif encode_rider:
+        a0 = F64Bits(jax.lax.slice_in_dim(a.hi, 0, panel_m, axis=0),
+                     jax.lax.slice_in_dim(a.lo, 0, panel_m, axis=0))
+        a8_p = encode_slices_pallas(a0, sft_a[:panel_m], num_moduli, axis=1)
+    else:
+        a8_p = encode_slices_pallas(a, sft_a, num_moduli, axis=1)
+    his, los = [], []
+    r_prev = None
+    for p in range(P):
+        src = a if (encode_rider and p < P - 1) else None
+        r_p, hi_prev, lo_prev, a8_next = matmul_rider_step(
+            a8_p, b8, p, r_prev, p - 1, sft_a, sft_b, num_moduli,
+            panel_m=panel_m, bn=bn, a_src=src, next_panel=p + 1)
+        if hi_prev is not None:
+            his.append(hi_prev)
+            los.append(lo_prev)
+        r_prev = r_p
+        if a8_next is not None:
+            a8_p = a8_next
+    sa_last = jax.lax.dynamic_slice_in_dim(sft_a, (P - 1) * panel_m,
+                                           panel_m, axis=0)
+    last = reconstruct_pallas(r_prev, sa_last, sft_b, num_moduli, "f64")
+    his.append(last.hi)
+    los.append(last.lo)
+    return F64Bits(jnp.concatenate(his, axis=0),
+                   jnp.concatenate(los, axis=0))

@@ -43,33 +43,40 @@ def main():
     bt = np.ascontiguousarray(a.T).view(np.uint32).reshape(n, n, 2)
     B = F64Bits(jnp.asarray(bt[..., 1]), jnp.asarray(bt[..., 0]))
 
+    # Operands are threaded through the chained state as explicit args —
+    # closing over them captures 800 MB of constants INTO the serialized
+    # HLO and the remote-compile upload rejects it (HTTP 413).
+
     # A) chained dispatches (bench.py protocol)
     def step(st):
-        lo, chk = st
+        ahi, alo, bhi, lo, chk = st
         lo = lo.at[0, 0].set(lo[0, 0] ^ (chk.astype(jnp.uint32)
                                          & jnp.uint32(1)))
-        o = gg.gemm_core(A, F64Bits(B.hi, lo), L, True, "f64")
-        return lo, jnp.sum(o.hi[::64, ::64].astype(jnp.float32))
+        o = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, lo), L, True, "f64")
+        return ahi, alo, bhi, lo, jnp.sum(
+            o.hi[::64, ::64].astype(jnp.float32))
 
     f = jax.jit(step, donate_argnums=(0,))
-    dt_a, _ = chained_time(lambda st: f(st), (B.lo, jnp.float32(0)), 8)
+    st0 = (A.hi, A.lo, B.hi, B.lo, jnp.float32(0))
+    dt_a, _ = chained_time(lambda st: f(st), st0, 8)
     print(f"A chained dispatch : {dt_a*1e3:8.2f} ms/call "
           f"-> {2*n**3/dt_a/1e12:5.2f} TFLOP/s", flush=True)
 
     # B) device-side iteration: scan of scan_n dependent calls per dispatch
     def scan_body(carry, _):
-        lo, chk = carry
+        ahi, alo, bhi, lo, chk = carry
         lo = lo.at[0, 0].set(lo[0, 0] ^ (chk.astype(jnp.uint32)
                                          & jnp.uint32(1)))
-        o = gg.gemm_core(A, F64Bits(B.hi, lo), L, True, "f64")
-        return (lo, jnp.sum(o.hi[::64, ::64].astype(jnp.float32))), None
+        o = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, lo), L, True, "f64")
+        return (ahi, alo, bhi, lo,
+                jnp.sum(o.hi[::64, ::64].astype(jnp.float32))), None
 
     def stepN(st):
-        (lo, chk), _ = jax.lax.scan(scan_body, st, None, length=scan_n)
-        return lo, chk
+        out, _ = jax.lax.scan(scan_body, st, None, length=scan_n)
+        return out
 
     g = jax.jit(stepN, donate_argnums=(0,))
-    dt_b, _ = chained_time(lambda st: g(st), (B.lo, jnp.float32(0)), 4)
+    dt_b, _ = chained_time(lambda st: g(st), st0, 4)
     per = dt_b / scan_n
     print(f"B scan x{scan_n} device : {per*1e3:8.2f} ms/call "
           f"-> {2*n**3/per/1e12:5.2f} TFLOP/s", flush=True)
