@@ -31,6 +31,17 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
+    # Honor JAX_PLATFORMS even though the axon TPU plugin overrides the
+    # env var: re-assert it through jax.config before any array op (the
+    # documented reliable override — CLAUDE.md). Without this a
+    # JAX_PLATFORMS=cpu subprocess still initializes the remote TPU
+    # tunnel and hangs when the tunnel is down.
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     from . import harness
 
     sizes = tuple(_parse_range(args.sizes))
