@@ -74,3 +74,30 @@ def test_dgemm_bands_at_reference_scale(operands, fast):
     ls = sorted(got)
     for l0, l1 in zip(ls, ls[1:]):
         assert got[l1] <= max(got[l0] * 1.5, 5e-16), (l0, l1, got)
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_mixed_double_bands_at_reference_scale(operands, fast):
+    """FP64 x FP32 -> FP64 (the reference's test_mixed_double protocol,
+    gemm<double,float,double>) at m=n=1024, k=8192. The reference ships
+    no mixed-result CSV, so the asserted bands are the DGEMM ones: the
+    moduli arithmetic is identical and the ground truth is the dd product
+    of the CAST operands, so the curve tracks the d curve until the
+    correctly-rounded-product floor (committed evidence:
+    results_committed/oz2_results_md_accuracy_cpu_*.csv)."""
+    from gemmul8_tpu import gemm
+    from gemmul8_tpu.bench.native import dd_gemm, relerr_vs_dd
+    from gemmul8_tpu.types import as_numpy
+
+    a, b64, _, _ = operands
+    b = b64.astype(np.float32)
+    ref_hi, ref_lo = dd_gemm(a, b.astype(np.float64))
+    bands = REF_FAST if fast else REF_ACCU
+    for L in (10, 14, 18, 20):
+        band = bands[L]
+        c = as_numpy(gemm(a, b, num_moduli=L, fastmode=fast,
+                          out_dtype=np.float64))
+        mx, _ = relerr_vs_dd(c.astype(np.float64), ref_hi, ref_lo)
+        assert mx <= max(band * 4.0, 5e-14), (
+            f"md {'fast' if fast else 'accu'}-{L}: {mx:.3e} "
+            f"vs band {band:.3e}")
