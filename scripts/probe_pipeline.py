@@ -1,10 +1,12 @@
 """Measure the panel/rider pipeline vs the monolithic fused path on TPU.
 
-    python scripts/probe_pipeline.py [n] [L] [iters]
+    python scripts/probe_pipeline.py [n] [L] [iters] [panel_m,panel_m,...]
 
-Times three chained-protocol variants of the 8192^3 fast-f64 call:
+Times chained-protocol variants of the 8192^3 fast-f64 call:
   A) monolithic gemm_core (current bench path)
   B) gemm_fast_pipelined_f64 (reconstruct rides the panel matmuls)
+  C) + encode rider
+  (with a 4th argv: B and C repeated per listed panel_m)
 and prints the marginal cost of the rider versus the reconstruct it hides.
 """
 
@@ -51,29 +53,41 @@ def main():
 
     st0 = (A.hi, A.lo, B.hi, B.lo, jnp.float32(0))
 
+    # NB: donate_argnums=(0,) donates EVERY leaf of the state tuple, so a
+    # variant's st0 buffers are consumed by its run — thread the returned
+    # final state into the next variant (same structure; only a mantissa
+    # LSB of B differs, which is timing-irrelevant).
     fa = mk_step(lambda x, y: gg.gemm_core(x, y, L, True, "f64"))
     t0 = time.perf_counter()
-    dt_a, _ = chained_time(lambda st: fa(st), st0, iters)
+    dt_a, st0 = chained_time(lambda st: fa(st), st0, iters)
     print(f"A monolithic  : {dt_a*1e3:8.2f} ms/call "
           f"-> {2*n**3/dt_a/1e12:5.2f} TFLOP/s "
           f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
 
-    fb = mk_step(lambda x, y: pp.gemm_fast_pipelined_f64(x, y, L))
-    t0 = time.perf_counter()
-    dt_b, _ = chained_time(lambda st: fb(st), st0, iters)
-    print(f"B pipelined   : {dt_b*1e3:8.2f} ms/call "
-          f"-> {2*n**3/dt_b/1e12:5.2f} TFLOP/s "
-          f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
-    print(f"delta         : {(dt_a-dt_b)*1e3:8.2f} ms/call", flush=True)
+    panels = ([int(x) for x in sys.argv[4].split(",")]
+              if len(sys.argv) > 4 else [1024])
+    for pm_ in panels:
+        cfg = pp.choose_panels(n, n, n, L) if pm_ == 0 else (pm_, 512)
+        fb = mk_step(lambda x, y, c=cfg: pp.gemm_fast_pipelined_f64(
+            x, y, L, panel_m=c[0], bn=c[1]))
+        t0 = time.perf_counter()
+        dt_b, st0 = chained_time(lambda st: fb(st), st0, iters)
+        print(f"B rec rider  pm={cfg[0]:5d}: {dt_b*1e3:8.2f} ms/call "
+              f"-> {2*n**3/dt_b/1e12:5.2f} TFLOP/s "
+              f"(d vs A {(dt_a-dt_b)*1e3:+7.2f} ms; "
+              f"wall {time.perf_counter()-t0:.0f}s)", flush=True)
 
-    fc = mk_step(lambda x, y: pp.gemm_fast_pipelined_f64(
-        x, y, L, encode_rider=True))
-    t0 = time.perf_counter()
-    dt_c, _ = chained_time(lambda st: fc(st), st0, iters)
-    print(f"C enc+rec rider: {dt_c*1e3:7.2f} ms/call "
-          f"-> {2*n**3/dt_c/1e12:5.2f} TFLOP/s "
-          f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
-    print(f"delta vs A     : {(dt_a-dt_c)*1e3:7.2f} ms/call", flush=True)
+        if not pp.pipeline_applicable(n, n, n, L, panel_m=cfg[0],
+                                      bn=cfg[1], encode_rider=True):
+            continue
+        fc = mk_step(lambda x, y, c=cfg: pp.gemm_fast_pipelined_f64(
+            x, y, L, panel_m=c[0], bn=c[1], encode_rider=True))
+        t0 = time.perf_counter()
+        dt_c, st0 = chained_time(lambda st: fc(st), st0, iters)
+        print(f"C enc+rec    pm={cfg[0]:5d}: {dt_c*1e3:8.2f} ms/call "
+              f"-> {2*n**3/dt_c/1e12:5.2f} TFLOP/s "
+              f"(d vs A {(dt_a-dt_c)*1e3:+7.2f} ms; "
+              f"wall {time.perf_counter()-t0:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
