@@ -133,19 +133,24 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
 
             pipe = pp.pipeline_mode()
             cfg = pp.choose_panels(a.shape[0], b.shape[1], a.shape[1],
-                                   num_moduli, encode_rider=pipe == 2) \
+                                   num_moduli, encode_rider=pipe >= 2) \
                 if pipe else None
             if (cfg and fastmode and out_dtype == "f64"
                     and sft_a is not None
                     and isinstance(a, F64Bits) and isinstance(b, F64Bits)):
                 # panel/rider pipeline: the CRT reconstruct of panel p-1
-                # (and, at level 2, the encode of A-panel p+1) rides
+                # (and, at level 2, the encode of A-panel p+1; at level 3
+                # also B's right-half encode in a split first panel) rides
                 # inside panel p's matmul kernel as independent VPU work
                 # the MXU hides (bit-identical; pallas/pipelined.py)
+                bsp = (pipe == 3 and pp.bsplit_applicable(
+                    a.shape[0], b.shape[1], a.shape[1], num_moduli,
+                    cfg[0], cfg[1]))
                 return pp.gemm_fast_pipelined_f64(a, b, num_moduli,
                                                   panel_m=cfg[0], bn=cfg[1],
                                                   sfts=(sft_a, sft_b),
-                                                  encode_rider=pipe == 2)
+                                                  encode_rider=pipe >= 2,
+                                                  b_rider=bsp)
 
             if sft_a is None:
                 a8, sft_a = pk.fast_encode_fused_pallas(a, num_moduli,

@@ -456,15 +456,24 @@ def mag7_operand_pallas(x, axis: int, mag_shift: int = 5):
 # ---------------------------------------------------------------------------
 
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=(64, 512)):
+                         moduli_idx=None, block=(64, 512), col_tiles=None):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
-    (1,k) for axis=0). Returns (L, m, k) int8."""
+    (1,k) for axis=0). Returns (L, m, k) int8.
+
+    col_tiles: optional (j0, j1) tile range (units of block[1]) along x's
+    second dim — the grid covers only those column tiles but the output
+    keeps the FULL (L, m, k) shape, leaving the other columns
+    uninitialized. Used by the panel pipeline's B-split schedule
+    (pallas/pipelined.py), which fills the remainder through an aliased
+    rider write inside the first panel's matmul."""
     is64 = isinstance(x, F64Bits)
     m, k = x.shape
     bm, bk = block
     mp, kp = _ceil_to(m, bm), _ceil_to(k, bk)
-    grid = (mp // bm, kp // bk)
+    j0 = 0 if col_tiles is None else col_tiles[0]
+    grid = (mp // bm,
+            kp // bk if col_tiles is None else col_tiles[1] - col_tiles[0])
     n_out = num_moduli if moduli_idx is None else len(moduli_idx)
 
     def pad2(a):
@@ -476,7 +485,7 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
                                 memory_space=pltpu.VMEM)
     else:          # column shifts (1, k)
         sft_p = jnp.pad(sft, ((0, 0), (0, kp - k)))
-        sft_spec = pl.BlockSpec((1, bk), lambda i, j: (0, j),
+        sft_spec = pl.BlockSpec((1, bk), lambda i, j: (0, j + j0),
                                 memory_space=pltpu.VMEM)
 
     if is64:
@@ -498,14 +507,14 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
                 chunks, exp, sign, normal, sft_ref[:], num_moduli, 24,
                 moduli_idx)
 
-    data_spec = pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+    data_spec = pl.BlockSpec((bm, bk), lambda i, j: (i, j + j0),
                              memory_space=pltpu.VMEM)
     in_specs = [data_spec] * (len(inputs) - 1) + [sft_spec]
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n_out, bm, bk), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((n_out, bm, bk), lambda i, j: (0, i, j + j0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, mp, kp), jnp.int8),
         compiler_params=pltpu.CompilerParams(

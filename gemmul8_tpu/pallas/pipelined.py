@@ -75,12 +75,13 @@ def _rider_tiles(pm: int, np_: int, steps: int):
 
 def pipeline_mode() -> int:
     """Pipeline gate from GEMMUL8_PIPELINE: 0 = off, 1 = reconstruct
-    rider, 2 = reconstruct + encode riders. The default is the variant
-    that measured fastest at the headline size (scripts/probe_pipeline.py
-    on the real chip; PERF_NOTES.md)."""
+    rider, 2 = reconstruct + encode riders, 3 = mode 2 plus the B-split
+    first panel (B's right-half encode rides the left-half matmul). The
+    default is the variant that measured fastest at the headline size
+    (scripts/probe_pipeline.py on the real chip; PERF_NOTES.md)."""
     import os
     v = os.environ.get("GEMMUL8_PIPELINE", "0")
-    return int(v) if v in ("0", "1", "2") else 0
+    return int(v) if v in ("0", "1", "2", "3") else 0
 
 
 def pipeline_applicable(m: int, n: int, k: int, num_moduli: int,
@@ -329,10 +330,229 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
     return res, hi, lo, a8n
 
 
+def bsplit_applicable(m: int, n: int, k: int, num_moduli: int,
+                      panel_m: int = 1024, bn: int = 512) -> bool:
+    """The B-split schedule additionally needs an even column-tile count
+    and a rider tiling that encodes the right half of B (k x n/2) within
+    the left-half matmul's L*(nt/2) grid steps."""
+    nt = n // bn
+    if nt % 2 or nt < 2 or (n // 2) % 512:
+        return False
+    if not pipeline_applicable(m, n, k, num_moduli, panel_m, bn,
+                               encode_rider=True):
+        return False
+    return _rider_tiles(k, n // 2, num_moduli * (nt // 2)) is not None
+
+
+def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
+                       num_moduli: int, panel_m: int, bn: int, *,
+                       a_src: F64Bits | None = None):
+    """Panel-0 matmul as two column-half calls that finish B's encode:
+
+      call 0a: int8 matmul of A-panel-0 against the LEFT column half of
+        b8 (already encoded), carrying as rider the residue encode of the
+        RIGHT half of B straight from the f64 source — written into the
+        full-size b8 buffer through an input_output_alias (the matmul
+        only ever reads left-half blocks, the rider only writes
+        right-half blocks, so the aliased regions are disjoint).
+      call 0b: int8 matmul against the RIGHT half (now encoded),
+        optionally carrying the A-panel-1 encode rider; its residue
+        output aliases call 0a's so the panel's residues land in one
+        (L, panel_m, n) buffer without a concatenate.
+
+    Replaces the reference's strictly-serial scaling -> GemmEx ordering
+    (gemmul8.cu:259-275) for the first panel; arithmetic is bit-identical
+    (same _encode_with_sft / Barrett bodies). Returns
+    (res0 (L, panel_m, n) uint8, b8_full (L, k, n) int8, a8_next|None).
+    """
+    L = num_moduli
+    k = a8_p0.shape[2]
+    n = b8_left.shape[2]
+    nt = n // bn
+    ntL = nt // 2
+    mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
+    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in range(L)],
+                         jnp.float32)
+    bias, fix_steps = barrett_fixup_params(k, tuple(range(L)))
+
+    # ---- call 0a: matmul left + B-right encode rider ----
+    berk, bern = _rider_tiles(k, n // 2, L * ntL)
+    bcols = (n // 2) // bern
+    coff = (n // 2) // bern  # right-half offset in bern units
+    b_tidx, b_active = _sched(ntL, (k // berk) * bcols, 0, 1)
+
+    def kern_a(mods_ref, recips_ref, a_ref, b_ref, bhi_ref, blo_ref,
+               sbe_ref, o_ref, b8o_ref):
+        l = pl.program_id(0)
+        j = pl.program_id(1)
+        x = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        mj = mods_ref[l]
+        rj = recips_ref[l]
+        q = jnp.floor(x.astype(jnp.float32) * rj
+                      - jnp.float32(bias)).astype(_I32)
+        r = x - q * mj
+        for s in fix_steps:
+            r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+        o_ref[0] = r.astype(jnp.uint8)
+
+        @pl.when(b_active(l, j))
+        def _():
+            chunks, exp, sign, normal = enc._f64_fields(bhi_ref[:],
+                                                        blo_ref[:])
+            b8o_ref[:] = enc._encode_with_sft(
+                chunks, exp, sign, normal, sbe_ref[:], num_moduli, 53,
+                None)
+
+    def _bsrc(l, j):
+        t = b_tidx(l, j)
+        return (t // bcols, t % bcols + coff)
+
+    res0, b8_full = pl.pallas_call(
+        kern_a,
+        grid=(L, ntL),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, panel_m, k), lambda l, j: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, bn), lambda l, j: (l, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((berk, bern), lambda l, j: _bsrc(l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((berk, bern), lambda l, j: _bsrc(l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bern),
+                         lambda l, j: (0, b_tidx(l, j) % bcols + coff),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, panel_m, bn), lambda l, j: (l, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_moduli, berk, bern),
+                         lambda l, j: (0,) + _bsrc(l, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((L, panel_m, n), jnp.uint8),
+                   jax.ShapeDtypeStruct((L, k, n), jnp.int8)),
+        input_output_aliases={3: 1},  # b8: left read / right written
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * panel_m * (n // 2) * k,
+            bytes_accessed=L * (panel_m * k + k * n // 2 + panel_m * n // 2),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(mods, recips, a8_p0, b8_left, b_src.hi, b_src.lo, sft_b)
+
+    # ---- call 0b: matmul right (+ optional A-panel-1 encode rider) ----
+    enc_rider = a_src is not None
+    if enc_rider:
+        berm, aberk = _rider_tiles(panel_m, k, L * (nt - ntL))
+        ekcols = k // aberk
+        e_tidx, e_active = _sched(nt - ntL, (panel_m // berm) * ekcols,
+                                  0, 1)
+        erows = panel_m // berm
+
+    def kern_b(*refs):
+        it = iter(refs)
+        mods_ref, recips_ref = next(it), next(it)
+        a_ref, b_ref, r_in = next(it), next(it), next(it)
+        if enc_rider:
+            ahi_ref, alo_ref, sae_ref = next(it), next(it), next(it)
+        o_ref = next(it)
+        if enc_rider:
+            a8n_ref = next(it)
+        del r_in  # aliased input: read nowhere, present only for aliasing
+        l = pl.program_id(0)
+        j = pl.program_id(1)
+        x = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        mj = mods_ref[l]
+        rj = recips_ref[l]
+        q = jnp.floor(x.astype(jnp.float32) * rj
+                      - jnp.float32(bias)).astype(_I32)
+        r = x - q * mj
+        for s in fix_steps:
+            r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+        o_ref[0] = r.astype(jnp.uint8)
+        if enc_rider:
+            @pl.when(e_active(l, j))
+            def _():
+                chunks, exp, sign, normal = enc._f64_fields(ahi_ref[:],
+                                                            alo_ref[:])
+                a8n_ref[:] = enc._encode_with_sft(
+                    chunks, exp, sign, normal, sae_ref[:], num_moduli,
+                    53, None)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, panel_m, k), lambda l, j: (l, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k, bn), lambda l, j: (l, 0, j + ntL),
+                     memory_space=pltpu.VMEM),
+        # aliased residue input: block pinned to the (already-final) left
+        # half, which this call never writes — the prefetcher must not
+        # touch the right-half region the matmul is flushing
+        pl.BlockSpec((1, 8, 128), lambda l, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [mods, recips, a8_p0, b8_full, res0]
+    out_specs = [pl.BlockSpec((1, panel_m, bn), lambda l, j: (l, 0, j + ntL),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((L, panel_m, n), jnp.uint8)]
+    if enc_rider:
+        def _esrc(l, j):
+            t = e_tidx(l, j)
+            return (erows + t // ekcols, t % ekcols)
+
+        in_specs += [
+            pl.BlockSpec((berm, aberk), lambda l, j: _esrc(l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((berm, aberk), lambda l, j: _esrc(l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((berm, 1), lambda l, j: (_esrc(l, j)[0], 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs += [
+            pl.BlockSpec((num_moduli, berm, aberk),
+                         lambda l, j: (0, e_tidx(l, j) // ekcols,
+                                       e_tidx(l, j) % ekcols),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [jax.ShapeDtypeStruct((num_moduli, panel_m, k),
+                                            jnp.int8)]
+        operands += [a_src.hi, a_src.lo, sft_a]
+
+    out = pl.pallas_call(
+        kern_b,
+        grid=(L, nt - ntL),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        input_output_aliases={4: 0},  # residues: left kept / right written
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * panel_m * (n - n // 2) * k,
+            bytes_accessed=L * (panel_m * k + k * (n - n // 2)
+                                + panel_m * (n - n // 2)),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(*operands)
+    out = list(out) if isinstance(out, (tuple, list)) else [out]
+    res0_full = out.pop(0)
+    a8n = out.pop(0) if enc_rider else None
+    return res0_full, b8_full, a8n
+
+
 def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
                             panel_m: int = 1024, bn: int = 512,
                             sfts=None, encode_rider: bool = False,
-                            a8=None) -> F64Bits:
+                            a8=None, b_rider: bool = False) -> F64Bits:
     """Fast-mode f64 GEMM emulation with the panel/rider pipeline.
     Bit-identical to gemm_core's one-shot pallas path (same stats, encode,
     Barrett, and reconstruct bodies); only the schedule differs.
@@ -341,16 +561,26 @@ def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
     previous panel's matmul (only panel 0 is encoded up front).
     a8: optional pre-encoded (L, m, k) slices of A — used by the
     column-panel schedule, which encodes A once and reuses it across
-    panels (mutually exclusive with encode_rider)."""
+    panels (mutually exclusive with encode_rider).
+    b_rider: split panel 0's matmul into column halves so only B's left
+    half is encoded up front and the right half rides the left-half
+    matmul (requires encode_rider; matmul_bsplit_pair)."""
     m, k = a.shape
     n = b.shape[1]
     P = m // panel_m
+    if b_rider:
+        assert encode_rider and (n // 2) % 512 == 0 \
+            and bsplit_applicable(m, n, k, num_moduli, panel_m, bn)
     if sfts is not None:
         sft_a, sft_b = sfts
     else:
         sft_a = fast_sft_pallas(a, num_moduli, axis=1)
         sft_b = fast_sft_pallas(b, num_moduli, axis=0)
-    b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0)
+    if b_rider:
+        b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0,
+                                  col_tiles=(0, (n // 2) // 512))
+    else:
+        b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0)
     if a8 is not None:
         assert not encode_rider
         a8_p = a8
@@ -361,8 +591,15 @@ def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
     else:
         a8_p = encode_slices_pallas(a, sft_a, num_moduli, axis=1)
     his, los = [], []
-    r_prev = None
-    for p in range(P):
+    if b_rider:
+        r_prev, b8, a8_p = matmul_bsplit_pair(
+            a8_p, b8, b, sft_a, sft_b, num_moduli, panel_m, bn,
+            a_src=a if P > 1 else None)
+        p_start = 1
+    else:
+        r_prev = None
+        p_start = 0
+    for p in range(p_start, P):
         src = a if (encode_rider and p < P - 1) else None
         r_p, hi_prev, lo_prev, a8_next = matmul_rider_step(
             a8_p, b8, p, r_prev, p - 1, sft_a, sft_b, num_moduli,

@@ -89,6 +89,18 @@ def main():
               f"(d vs A {(dt_a-dt_c)*1e3:+7.2f} ms; "
               f"wall {time.perf_counter()-t0:.0f}s)", flush=True)
 
+        if not pp.bsplit_applicable(n, n, n, L, panel_m=cfg[0], bn=cfg[1]):
+            continue
+        fd = mk_step(lambda x, y, c=cfg: pp.gemm_fast_pipelined_f64(
+            x, y, L, panel_m=c[0], bn=c[1], encode_rider=True,
+            b_rider=True))
+        t0 = time.perf_counter()
+        dt_d, st0 = chained_time(lambda st: fd(st), st0, iters)
+        print(f"D +B-split   pm={cfg[0]:5d}: {dt_d*1e3:8.2f} ms/call "
+              f"-> {2*n**3/dt_d/1e12:5.2f} TFLOP/s "
+              f"(d vs A {(dt_a-dt_d)*1e3:+7.2f} ms; "
+              f"wall {time.perf_counter()-t0:.0f}s)", flush=True)
+
 
 if __name__ == "__main__":
     main()

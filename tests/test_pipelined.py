@@ -73,6 +73,38 @@ def test_panels_schedule_uses_pipeline(monkeypatch):
     assert bool(jnp.all(ref.lo == got.lo))
 
 
+@pytest.mark.parametrize("shape,L,panel,bn", [
+    ((512, 1024, 1024), 9, 256, 256),
+    ((768, 512, 1024), 11, 256, 512),   # 3 panels: pair + 2 rider steps
+])
+def test_bsplit_bit_exact(shape, L, panel, bn):
+    # mode 3: B's right-half encode rides the left-half matmul of panel 0
+    # through aliased writes into the full b8 buffer; residues of the two
+    # column halves land in one buffer the same way
+    m, k, n = shape
+    a = _phi(m, k, 1.2, seed=m + L)
+    b = _phi(k, n, 1.2, seed=n + L)
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    assert pp.bsplit_applicable(m, n, k, L, panel_m=panel, bn=bn)
+    ref = gg.gemm_core(A, B, L, True, "f64", use_pallas=True)
+    got = pp.gemm_fast_pipelined_f64(A, B, L, panel_m=panel, bn=bn,
+                                     encode_rider=True, b_rider=True)
+    assert bool(jnp.all(ref.hi == got.hi))
+    assert bool(jnp.all(ref.lo == got.lo))
+
+
+def test_bsplit_via_gemm_core(monkeypatch):
+    m, k, n = 512, 1024, 1024
+    a = _phi(m, k, 0.8, seed=1)
+    b = _phi(k, n, 0.8, seed=2)
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    ref = gg.gemm_core(A, B, 9, True, "f64", use_pallas=True)
+    monkeypatch.setenv("GEMMUL8_PIPELINE", "3")
+    got = gg.gemm_core(A, B, 9, True, "f64", use_pallas=True)
+    assert bool(jnp.all(ref.hi == got.hi))
+    assert bool(jnp.all(ref.lo == got.lo))
+
+
 def test_applicability_gates():
     assert pp.pipeline_applicable(8192, 8192, 8192, 14)
     assert not pp.pipeline_applicable(1024, 8192, 8192, 14)   # < 2 panels
