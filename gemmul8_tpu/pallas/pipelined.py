@@ -140,7 +140,8 @@ def _sched(nt: int, tiles: int, phase: int, nphases: int):
 def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                       sft_a, sft_b, num_moduli: int,
                       panel_m: int = 1024, bn: int = 512, *,
-                      a_src: F64Bits | None = None, next_panel: int = -1):
+                      a_src: F64Bits | None = None, next_panel: int = -1,
+                      acc=None):
     """One pipeline stage: int8 matmul (+Barrett uint8 epilogue) of one
     A panel against all of B, with up to two riders on the grid steps:
       - CRT reconstruct of panel `prev_panel` (skipped when r_prev is
@@ -156,6 +157,14 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
     Returns (res_panel (L, panel_m, n) uint8, hi_prev, lo_prev, a8_next)
     — hi/lo are (panel_m, n) uint32 or None when r_prev is None; a8_next
     is (L, panel_m, next-panel slices) int8 or None when a_src is None.
+
+    acc: accumulate the rider's reconstruct output into FULL-SIZE (m, n)
+    hi/lo buffers instead of per-panel pieces (saves the caller's final
+    concatenate): "fresh" allocates the buffers (first rider call; the
+    not-yet-written regions are uninitialized), or a (hi, lo) pair from
+    the previous call, alias-chained so each call only writes its
+    prev-panel row region. The aliased inputs' prefetch blocks are pinned
+    to the LAST panel's region, which no rider call ever writes.
     """
     L = a8.shape[0]
     k = a8.shape[2]
@@ -166,11 +175,15 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
     steps = L * nt
     rec_rider = r_prev is not None
     enc_rider = a_src is not None
+    assert acc is None or rec_rider
+    acc_chain = isinstance(acc, tuple)
+    m_total = sft_a.shape[0]
     nphases = 2 if (rec_rider and enc_rider) else 1
     # panel indices ride in as prefetched scalars so pipeline stages with
     # the same rider structure share ONE compiled kernel (a static
     # capture would specialize the Mosaic payload per panel)
-    pidx = jnp.asarray([panel, max(next_panel, 0)], jnp.int32)
+    pidx = jnp.asarray([panel, max(next_panel, 0), max(prev_panel, 0)],
+                       jnp.int32)
     mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
     recips = jnp.asarray([1.0 / tables.MODULI[j] for j in range(L)],
                          jnp.float32)
@@ -197,6 +210,8 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
             r_ref, sa_ref, sb_ref = next(it), next(it), next(it)
         if enc_rider:
             ahi_ref, alo_ref, sae_ref = next(it), next(it), next(it)
+        if acc_chain:
+            next(it), next(it)  # aliased hi/lo inputs: never read
         o_ref = next(it)
         if rec_rider:
             hi_ref, lo_ref = next(it), next(it)
@@ -263,18 +278,26 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                          lambda l, j, *refs: (0, r_tidx(l, j) % ncols),
                          memory_space=pltpu.VMEM),
         ]
-        out_specs += [
-            pl.BlockSpec((brm, brn),
-                         lambda l, j, *refs: (r_tidx(l, j) // ncols,
-                                              r_tidx(l, j) % ncols),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((brm, brn),
-                         lambda l, j, *refs: (r_tidx(l, j) // ncols,
-                                              r_tidx(l, j) % ncols),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_shapes += [jax.ShapeDtypeStruct((panel_m, n), jnp.uint32),
-                       jax.ShapeDtypeStruct((panel_m, n), jnp.uint32)]
+        if acc is None:
+            rec_out_spec = pl.BlockSpec(
+                (brm, brn),
+                lambda l, j, *refs: (r_tidx(l, j) // ncols,
+                                     r_tidx(l, j) % ncols),
+                memory_space=pltpu.VMEM)
+            rec_out_shape = jax.ShapeDtypeStruct((panel_m, n), jnp.uint32)
+        else:
+            # full-size accumulation: write this rider's tiles into the
+            # prev-panel row region of an (m, n) buffer
+            prow = panel_m // brm
+            rec_out_spec = pl.BlockSpec(
+                (brm, brn),
+                lambda l, j, pidx_r, *refs: (
+                    pidx_r[2] * prow + r_tidx(l, j) // ncols,
+                    r_tidx(l, j) % ncols),
+                memory_space=pltpu.VMEM)
+            rec_out_shape = jax.ShapeDtypeStruct((m_total, n), jnp.uint32)
+        out_specs += [rec_out_spec, rec_out_spec]
+        out_shapes += [rec_out_shape, rec_out_shape]
         operands += [r_prev, sa_prev, sft_b]
     if enc_rider:
         # source blocks offset into the NEXT panel's rows via the
@@ -301,6 +324,20 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                                             jnp.int8)]
         operands += [a_src.hi, a_src.lo, sft_a]
 
+    aliases = {}
+    if acc_chain:
+        # alias-chain the full-size hi/lo through this call; the input
+        # prefetch blocks are pinned to the last panel's region, which no
+        # rider call writes (only the caller's final bare reconstruct)
+        last_blk = (m_total - panel_m) // 8
+        acc_in_spec = pl.BlockSpec((8, 128),
+                                   lambda l, j, *refs: (last_blk, 0),
+                                   memory_space=pltpu.VMEM)
+        hi_idx = 3 + len(operands)
+        in_specs += [acc_in_spec, acc_in_spec]
+        operands += [acc[0], acc[1]]
+        aliases = {hi_idx: 1, hi_idx + 1: 2}
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(L, nt),
@@ -311,6 +348,7 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
         kern,
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -549,10 +587,63 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
     return res0_full, b8_full, a8n
 
 
+def _reconstruct_into(r8, sft_a, sft_b, num_moduli: int, hi_acc, lo_acc,
+                      last_panel: int, panel_m: int,
+                      block=None) -> F64Bits:
+    """CRT reconstruct of the LAST panel's residues written directly into
+    the alias-chained full-size hi/lo buffers (same _rec_body as
+    reconstruct_pallas; saves the final panel concatenate). The aliased
+    inputs' prefetch blocks are pinned to panel-0's region, which this
+    call never writes."""
+    L, pm, n = r8.shape
+    m_total = sft_a.shape[0]
+    if block is None:
+        block = (32, 256 if n % 256 == 0 else 128)
+    bm, bn = block
+    assert pm == panel_m and pm % bm == 0 and n % bn == 0
+    sa_last = jax.lax.dynamic_slice_in_dim(sft_a, last_panel * panel_m,
+                                           panel_m, axis=0)
+    roff = last_panel * (panel_m // bm)
+
+    def kern(c_ref, sa_ref, sb_ref, hi_in, lo_in, hi_ref, lo_ref):
+        del hi_in, lo_in  # aliased inputs: never read
+        hi, lo = _rec_body(c_ref[:], sa_ref[:], sb_ref[:], num_moduli,
+                           "f64")
+        hi_ref[:] = hi
+        lo_ref[:] = lo
+
+    tile_out = pl.BlockSpec((bm, bn), lambda i, j: (roff + i, j),
+                            memory_space=pltpu.VMEM)
+    tiny = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM)
+    hi, lo = pl.pallas_call(
+        kern,
+        grid=(pm // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((L, bm, bn), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            tiny, tiny,
+        ],
+        out_specs=(tile_out, tile_out),
+        out_shape=(jax.ShapeDtypeStruct((m_total, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((m_total, n), jnp.uint32)),
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(r8, sa_last, sft_b, hi_acc, lo_acc)
+    return F64Bits(hi, lo)
+
+
 def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
                             panel_m: int = 1024, bn: int = 512,
                             sfts=None, encode_rider: bool = False,
-                            a8=None, b_rider: bool = False) -> F64Bits:
+                            a8=None, b_rider: bool = False,
+                            acc_out: bool = True) -> F64Bits:
     """Fast-mode f64 GEMM emulation with the panel/rider pipeline.
     Bit-identical to gemm_core's one-shot pallas path (same stats, encode,
     Barrett, and reconstruct bodies); only the schedule differs.
@@ -564,7 +655,9 @@ def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
     panels (mutually exclusive with encode_rider).
     b_rider: split panel 0's matmul into column halves so only B's left
     half is encoded up front and the right half rides the left-half
-    matmul (requires encode_rider; matmul_bsplit_pair)."""
+    matmul (requires encode_rider; matmul_bsplit_pair).
+    acc_out: alias-chain the rider reconstructs into one full-size (m, n)
+    hi/lo pair instead of concatenating per-panel pieces at the end."""
     m, k = a.shape
     n = b.shape[1]
     P = m // panel_m
@@ -591,6 +684,7 @@ def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
     else:
         a8_p = encode_slices_pallas(a, sft_a, num_moduli, axis=1)
     his, los = [], []
+    hi_acc = lo_acc = None
     if b_rider:
         r_prev, b8, a8_p = matmul_bsplit_pair(
             a8_p, b8, b, sft_a, sft_b, num_moduli, panel_m, bn,
@@ -601,15 +695,25 @@ def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
         p_start = 0
     for p in range(p_start, P):
         src = a if (encode_rider and p < P - 1) else None
+        if acc_out and r_prev is not None:
+            acc = (hi_acc, lo_acc) if hi_acc is not None else "fresh"
+        else:
+            acc = None
         r_p, hi_prev, lo_prev, a8_next = matmul_rider_step(
             a8_p, b8, p, r_prev, p - 1, sft_a, sft_b, num_moduli,
-            panel_m=panel_m, bn=bn, a_src=src, next_panel=p + 1)
-        if hi_prev is not None:
+            panel_m=panel_m, bn=bn, a_src=src, next_panel=p + 1,
+            acc=acc)
+        if acc is not None:
+            hi_acc, lo_acc = hi_prev, lo_prev
+        elif hi_prev is not None:
             his.append(hi_prev)
             los.append(lo_prev)
         r_prev = r_p
         if a8_next is not None:
             a8_p = a8_next
+    if acc_out:
+        return _reconstruct_into(r_prev, sft_a, sft_b, num_moduli,
+                                 hi_acc, lo_acc, P - 1, panel_m)
     sa_last = jax.lax.dynamic_slice_in_dim(sft_a, (P - 1) * panel_m,
                                            panel_m, axis=0)
     last = reconstruct_pallas(r_prev, sa_last, sft_b, num_moduli, "f64")

@@ -27,7 +27,8 @@ def _phi(m, n, phi, seed):
     ((512, 256, 256), 5, 128, 128),
 ])
 @pytest.mark.parametrize("enc_rider", [False, True])
-def test_pipelined_bit_exact(shape, L, panel, bn, enc_rider):
+@pytest.mark.parametrize("acc_out", [False, True])
+def test_pipelined_bit_exact(shape, L, panel, bn, enc_rider, acc_out):
     m, k, n = shape
     a = _phi(m, k, 1.0, seed=m + L)
     b = _phi(k, n, 1.0, seed=n + L)
@@ -36,7 +37,8 @@ def test_pipelined_bit_exact(shape, L, panel, bn, enc_rider):
                                   encode_rider=enc_rider)
     ref = gg.gemm_core(A, B, L, True, "f64", use_pallas=True)
     got = pp.gemm_fast_pipelined_f64(A, B, L, panel_m=panel, bn=bn,
-                                     encode_rider=enc_rider)
+                                     encode_rider=enc_rider,
+                                     acc_out=acc_out)
     assert bool(jnp.all(ref.hi == got.hi))
     assert bool(jnp.all(ref.lo == got.lo))
 
