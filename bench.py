@@ -47,19 +47,37 @@ def main():
         # output would charge ~1.5 ms of measurement plumbing to the GEMM
         return o, jnp.sum(o.hi[::64, ::64] ^ o.lo[::64, ::64]), y_lo
 
+    from gemmul8_tpu.bench.native import dd_gemm, relerr_vs_dd
+
+    def warmup_relerr(out):
+        # accuracy gate on a sampled tile vs the dd oracle: the pipeline
+        # schedule's aliased writes are asserted bit-exact in interpret
+        # mode, which cannot model Mosaic's prefetch/flush behavior — a
+        # wrong-on-chip schedule must be caught BEFORE it is benchmarked
+        got = bits_to_f64(F64Bits(out.hi[:256, :256], out.lo[:256, :256]),
+                          to_numpy=True)
+        ref_hi, ref_lo = dd_gemm(a[:256],
+                                 np.ascontiguousarray(a.T[:, :256]))
+        rel, _ = relerr_vs_dd(got, ref_hi, ref_lo)
+        return rel
+
     f = jax.jit(run, donate_argnums=(2,))
     s = jnp.uint32(0)
     b_lo = B.lo
     try:
         out, s, b_lo = f(A, B.hi, b_lo, s)
         int(s)
+        rel0 = warmup_relerr(out)
+        if not rel0 < 1e-8:
+            raise RuntimeError(f"warmup accuracy gate: relerr {rel0:.2e}")
     except Exception as e:  # pragma: no cover - chip-side safety net
         # If the default path (e.g. the panel/rider pipeline) fails to
-        # compile or execute on this chip, fall back to the monolithic
-        # schedule rather than losing the benchmark row.
+        # compile, execute, or produce correct output on this chip, fall
+        # back to the monolithic schedule rather than losing (or
+        # corrupting) the benchmark row.
         import os
         import sys
-        print(f"[bench] default path failed ({type(e).__name__}); "
+        print(f"[bench] default path failed ({type(e).__name__}: {e}); "
               "retrying with GEMMUL8_PIPELINE=0", file=sys.stderr)
         os.environ["GEMMUL8_PIPELINE"] = "0"
         B2 = f64_to_bits(a.T.copy())
@@ -72,6 +90,8 @@ def main():
         s = jnp.uint32(0)
         out, s, b_lo = f(A, B.hi, b_lo, s)
         int(s)
+        rel1 = warmup_relerr(out)
+        assert rel1 < 1e-8, f"monolithic path also wrong: {rel1:.2e}"
     int(jnp.sum(s))  # warm the sync-probe op so its compile isn't timed
     # Timing protocol: enqueue all chained iterations, sync once at the
     # end. The remote-TPU tunnel has a ~60 ms host<->device round trip;

@@ -76,11 +76,15 @@ def _rider_tiles(pm: int, np_: int, steps: int):
 def pipeline_mode() -> int:
     """Pipeline gate from GEMMUL8_PIPELINE: 0 = off, 1 = reconstruct
     rider, 2 = reconstruct + encode riders, 3 = mode 2 plus the B-split
-    first panel (B's right-half encode rides the left-half matmul). The
-    default is the variant that measured fastest at the headline size
-    (scripts/probe_pipeline.py on the real chip; PERF_NOTES.md)."""
+    first panel (B's right-half encode rides the left-half matmul).
+
+    Default (env unset): 3, the most-hidden schedule — every variant is
+    asserted bit-identical to the monolithic path and gemm_core falls
+    back per-shape through the applicability gates; bench.py additionally
+    accuracy-gates the warmup call and reverts to GEMMUL8_PIPELINE=0 on
+    any chip-side failure."""
     import os
-    v = os.environ.get("GEMMUL8_PIPELINE", "0")
+    v = os.environ.get("GEMMUL8_PIPELINE", "3")
     return int(v) if v in ("0", "1", "2", "3") else 0
 
 
