@@ -1,0 +1,83 @@
+"""Cross-lower the Pallas GEMM paths for the TPU platform (no chip).
+
+Interpret mode does NOT check Mosaic's lowering rules (block alignment,
+scalar-prefetch index maps, input_output_aliases) — shapes that pass
+every CPU test can fail only on the real chip (CLAUDE.md traps). This
+script runs the real Pallas->Mosaic lowering on the host via jax.export
+with platforms=["tpu"], catching that regression class before a bench
+run. Execution-order semantics (prefetch vs aliased writes) still need
+the chip; bench.py accuracy-gates those.
+
+Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
+  n     matrix size (default 512)
+  mode  GEMMUL8_PIPELINE values to check (default: 0 3)
+
+Each config takes minutes on a 1-CPU host (the unrolled 14-moduli graph
+is large) — this is a pre-bench validation step, not a CI default; the
+pytest wrapper (tests/test_tpu_lowering.py) is opt-in via
+GEMMUL8_LOWERING_TESTS=1.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def check(n: int, mode: str) -> int:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["GEMMUL8_PIPELINE"] = mode
+    # jax.export's jaxpr traversal recurses deeply on the unrolled
+    # 14-moduli graph; the default 1000-frame limit is not enough
+    sys.setrecursionlimit(20000)
+
+    import jax
+
+    # the axon plugin overrides the JAX_PLATFORMS env var (CLAUDE.md trap);
+    # only the config knob reliably keeps the host backend — without it
+    # this script blocks on the remote TPU tunnel before lowering anything
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    import gemmul8_tpu.pallas.kernels as K
+    import gemmul8_tpu.pallas.matmul as M
+    import gemmul8_tpu.pallas.pipelined as P
+
+    for mod in (P, K, M):
+        mod._interpret = lambda: False  # force the Mosaic (TPU) kernel path
+
+    from gemmul8_tpu.core import gemm as gg
+    from gemmul8_tpu.types import F64Bits
+
+    if mode == "3":
+        assert P.choose_panels(n, n, n, 14, encode_rider=True) is not None, \
+            f"panel schedule must apply at n={n}"
+
+    def fwd(ahi, alo, bhi, blo):
+        out = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, blo), 14,
+                           True, "f64", use_pallas=True)
+        return out.hi, out.lo
+
+    args = [jax.ShapeDtypeStruct((n, n), jnp.uint32)] * 4
+    t0 = time.time()
+    exp = jax.export.export(jax.jit(fwd), platforms=["tpu"])(*args)
+    nbytes = len(exp.mlir_module_serialized)
+    assert nbytes > 0
+    print(f"lowering ok: n={n} mode={mode} "
+          f"({nbytes} MLIR bytes, {time.time() - t0:.0f}s)", flush=True)
+    return nbytes
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    modes = sys.argv[2:] or ["0", "3"]
+    if len(modes) > 1:
+        # one subprocess per mode: GEMMUL8_PIPELINE and the interpret
+        # monkeypatch are read at trace time and must not leak across
+        import subprocess
+        for m in modes:
+            subprocess.run([sys.executable, __file__, str(n), m], check=True)
+    else:
+        check(n, modes[0])
