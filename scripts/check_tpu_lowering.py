@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def check(n: int, mode: str) -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["GEMMUL8_PIPELINE"] = mode
+    os.environ["GEMMUL8_PIPELINE"] = mode if mode.isdigit() else "0"
     # jax.export's jaxpr traversal recurses deeply on the unrolled
     # 14-moduli graph; the default 1000-frame limit is not enough
     sys.setrecursionlimit(20000)
@@ -55,9 +55,11 @@ def check(n: int, mode: str) -> int:
         assert P.choose_panels(n, n, n, 14, encode_rider=True) is not None, \
             f"panel schedule must apply at n={n}"
 
+    fastmode = mode != "accu"  # "accu": accurate-mode (mag7 Pallas) path
+
     def fwd(ahi, alo, bhi, blo):
         out = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, blo), 14,
-                           True, "f64", use_pallas=True)
+                           fastmode, "f64", use_pallas=True)
         return out.hi, out.lo
 
     args = [jax.ShapeDtypeStruct((n, n), jnp.uint32)] * 4
