@@ -508,6 +508,23 @@ def sft_from_stats(emax, nrm2, anyfinite, k_total: int, num_moduli: int,
     return jnp.where(anyfinite > 0, sft, _I32(0))
 
 
+def sft_floor_frac(nrm2, k_total: int, num_moduli: int):
+    """Distance of sft_from_stats' pre-floor value from its nearest
+    integer, per row/col. The parity tests use this: the Pallas stats
+    kernel accumulates the f32 squared norm block-by-block while the jnp
+    path sums flat, so nrm2 can differ in the last ulp and the floored
+    shift may legally differ by 1 exactly when this distance is within
+    f32 summation noise. MUST share its constants with sft_from_stats —
+    a drift between the two would let the tests misclassify real parity
+    bugs as boundary noise."""
+    t_f = tables.threshold_fast(num_moduli)
+    n2 = jnp.maximum(jnp.asarray(nrm2, jnp.float32)
+                     * jnp.float32(1.0 + k_total * 2.0 ** -23),
+                     jnp.float32(1.0))
+    v = -0.51 * jnp.log2(n2) + t_f
+    return jnp.minimum(v - jnp.floor(v), jnp.ceil(v) - v)
+
+
 def combine_stats(emax, nrm2, anyfinite, axis_name):
     """Merge shard-local fast-mode stats over a mesh axis: pmax on the
     exponent, psum of norms rescaled to the global max exponent (exact

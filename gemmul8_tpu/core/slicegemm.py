@@ -88,7 +88,12 @@ def int8_peak_probe(n: int = 4096, iters: int = 10) -> float:
     # on a 394.5-peak chip) — scale iterations so total device time is
     # >= ~0.1 s regardless of size.
     est_iter_s = 2 * n ** 3 / 300e12   # conservative 300 TOPS estimate
-    iters = max(iters, 30, int(0.1 / est_iter_s) + 1)
+    # cap: at small n the 0.1 s target would need ~10^5 chained dispatches
+    # (minutes of ~3 ms tunnel dispatch overhead measuring nothing). 2000
+    # dispatches bound wall time at ~6 s; below the size where that reaches
+    # 0.1 s of device time the probe is dispatch-bound by nature and the
+    # result reflects achievable-at-this-size, not chip peak.
+    iters = max(iters, 30, min(int(0.1 / est_iter_s) + 1, 2000))
     ai, s = step(a, b)
     fence(s)
     # sync-cost sample: min of 3 (jitter is one-sided)

@@ -197,7 +197,12 @@ def override_matmuls(num_moduli: Optional[int] = None,
             return orig_einsum(*args, **kw)
         sub = args[0].replace(" ", "")
         a, b = args[1], args[2]
-        lhs, _, out_sub = sub.partition("->")
+        lhs, arrow, out_sub = sub.partition("->")
+        if arrow and not out_sub:
+            # explicit scalar output ('ij,jk->'): a full contraction,
+            # not a matmul — indistinguishable from the implicit form
+            # once partitioned, so check the separator itself
+            return orig_einsum(*args, **kw)
         parts = lhs.split(",")
         if len(parts) != 2:
             return orig_einsum(*args, **kw)

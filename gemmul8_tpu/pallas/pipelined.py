@@ -59,8 +59,11 @@ def _interpret() -> bool:
 def _rider_tiles(pm: int, np_: int, steps: int):
     """Rider tile shape (brm, brn) covering a (pm, np_) panel with at most
     `steps` tiles (one tile per grid step), lane-friendly (brn mult of 128,
-    brm mult of 8). Prefers the smallest tiles that fit, so the VPU work
-    spreads evenly across the matmul steps. Returns None if no shape fits."""
+    brm mult of 8). Width preference: 512 first (matches the matmul's bn
+    tile so rider traffic aligns with the panel steps), then coarser, then
+    finer; within a width, the smallest row count that fits — so the VPU
+    work spreads as evenly as the width allows. Returns None if nothing
+    fits."""
     for brn in (512, 1024, 2048, 256, 128):
         if np_ % brn:
             continue
@@ -78,13 +81,15 @@ def pipeline_mode() -> int:
     rider, 2 = reconstruct + encode riders, 3 = mode 2 plus the B-split
     first panel (B's right-half encode rides the left-half matmul).
 
-    Default (env unset): 3, the most-hidden schedule — every variant is
-    asserted bit-identical to the monolithic path and gemm_core falls
-    back per-shape through the applicability gates; bench.py additionally
-    accuracy-gates the warmup call and reverts to GEMMUL8_PIPELINE=0 on
-    any chip-side failure."""
+    Default (env unset): 0. Every variant is asserted bit-identical to
+    the monolithic path in interpret mode, but interpret mode cannot
+    model Mosaic's prefetch/flush ordering against the schedule's aliased
+    writes — so the aggressive schedules stay opt-in for API callers
+    until chip-validated. bench.py opts in explicitly and additionally
+    accuracy-gates its warmup call against the dd oracle, reverting to
+    GEMMUL8_PIPELINE=0 on any chip-side failure."""
     import os
-    v = os.environ.get("GEMMUL8_PIPELINE", "3")
+    v = os.environ.get("GEMMUL8_PIPELINE", "0")
     return int(v) if v in ("0", "1", "2", "3") else 0
 
 

@@ -12,10 +12,9 @@ Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
   n     matrix size (default 512)
   mode  GEMMUL8_PIPELINE values to check (default: 0 3)
 
-Each config takes minutes on a 1-CPU host (the unrolled 14-moduli graph
-is large) — this is a pre-bench validation step, not a CI default; the
-pytest wrapper (tests/test_tpu_lowering.py) is opt-in via
-GEMMUL8_LOWERING_TESTS=1.
+Each config lowers in ~1 s (plus the jax import); the pytest wrapper
+(tests/test_tpu_lowering.py) runs a few configs in the default suite,
+one subprocess each.
 """
 
 import os

@@ -8,10 +8,10 @@ sharding is emulated with xla_force_host_platform_device_count.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# pipeline off by default in tests: gemm_core(use_pallas=True) calls serve
-# as the MONOLITHIC reference the pipeline tests bit-compare against
-# (pipelined.py defaults GEMMUL8_PIPELINE to on); pipeline tests opt in
-# per-test via direct calls or monkeypatch.setenv
+# pin the pipeline off regardless of the ambient env: gemm_core
+# (use_pallas=True) calls serve as the MONOLITHIC reference the pipeline
+# tests bit-compare against; pipeline tests opt in per-test via direct
+# calls or monkeypatch.setenv
 os.environ.setdefault("GEMMUL8_PIPELINE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:

@@ -30,13 +30,9 @@ def _mk(shape, phi, seed=0):
 
 
 def _boundary_frac(x, axis, L):
-    """Distance of the fast-mode shift formula from its nearest floor
-    boundary, per row/col (jnp stats). The Pallas kernel accumulates the
-    squared norm block-by-block while the jnp path sums flat, so the two
-    nrm2 values can differ in the last ulp — shifts may then legally
-    differ by 1 exactly when this distance is within f32 noise."""
-    from gemmul8_tpu import tables
-
+    """Per-row/col distance of the shift formula from its floor boundary
+    (jnp stats), via the helper shared with sft_from_stats — see
+    enc.sft_floor_frac for why shifts may legally differ by 1 there."""
     if isinstance(x, F64Bits):
         parts = [enc._f64_fields(x.hi, x.lo)]
         mant_bits = 53
@@ -46,11 +42,7 @@ def _boundary_frac(x, axis, L):
         parts = [enc._f32_fields(bits)]
         mant_bits = 24
     emax, nrm2, af, k = enc._fast_stats_multi(parts, axis, mant_bits)
-    t_f = tables.threshold_fast(L)
-    n2 = np.maximum(np.asarray(nrm2) * np.float32(1.0 + k * 2.0 ** -23),
-                    1.0)
-    v = -0.51 * np.log2(n2) + t_f
-    return np.minimum(v - np.floor(v), np.ceil(v) - v)
+    return np.asarray(enc.sft_floor_frac(nrm2, k, L))
 
 
 def _assert_sft_parity(ref, got, frac):
@@ -291,9 +283,16 @@ def test_fused_encode_padding_and_zero_rows():
     assert (sl_ref[:, 3, :] == 0).all()
 
 
-def test_gemm_core_fused_fast_end_to_end():
-    """gemm_core(use_pallas=True) now runs the fused fast path; it must
-    stay bit-identical to the jnp path (same invariant as before)."""
+@pytest.mark.parametrize("gate", [None, "GEMMUL8_FUSED_ENCODE",
+                                  "GEMMUL8_FUSED_RECONSTRUCT",
+                                  "GEMMUL8_MM_PIPELINE"])
+def test_gemm_core_fast_end_to_end(monkeypatch, gate):
+    """gemm_core(use_pallas=True) must stay bit-identical to the jnp path
+    under every env-gated variant (the fused-encode, fused-reconstruct
+    megakernel, and software-pipelined matmul branches are opt-in via env
+    and would otherwise never be wired through gemm_core in the suite)."""
+    if gate:
+        monkeypatch.setenv(gate, "1")
     a = _mk((64, 256), 1.0, seed=9)
     b = _mk((256, 48), 1.0, seed=10)
     A, B = f64_to_bits(a), f64_to_bits(b)

@@ -58,6 +58,19 @@ def test_einsum_passthrough_non_matmul():
     assert np.allclose(np.asarray(hd), np.asarray(a) ** 2, rtol=1e-6)
 
 
+def test_einsum_passthrough_scalar_output():
+    """'ij,jk->' (explicit empty output) is a full contraction to a
+    scalar, NOT a matmul — after partition('->') it looks identical to
+    the implicit form 'ij,jk', so the router must check the separator."""
+    a = jnp.asarray(_mk((8, 16)), jnp.float32)
+    b = jnp.asarray(_mk((16, 8), seed=1), jnp.float32)
+    with icp.override_matmuls(num_moduli=8, rule=_emulate_all):
+        s = jnp.einsum("ij,jk->", a, b)
+    assert np.ndim(s) == 0
+    assert np.allclose(float(s), float((np.asarray(a) @ np.asarray(b)).sum()),
+                       rtol=1e-5)
+
+
 def test_dot_general_interception():
     a = jnp.asarray(_mk((32, 96)), jnp.float32)
     b = jnp.asarray(_mk((96, 24), seed=2), jnp.float32)
