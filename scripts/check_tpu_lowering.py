@@ -10,7 +10,10 @@ the chip; bench.py accuracy-gates those.
 
 Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
   n     matrix size (default 512)
-  mode  GEMMUL8_PIPELINE values to check (default: 0 3)
+  mode  GEMMUL8_PIPELINE values 0-3, or: "accu" (accurate-mode mag7
+        path), "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE /
+        FUSED_RECONSTRUCT / MM_PIPELINE env-gated branches).
+        Default: 0 3
 
 Each config lowers in ~1 s (plus the jax import); the pytest wrapper
 (tests/test_tpu_lowering.py) runs a few configs in the default suite,
@@ -24,9 +27,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_ENV_GATES = {"fe": "GEMMUL8_FUSED_ENCODE", "fr": "GEMMUL8_FUSED_RECONSTRUCT",
+              "mp": "GEMMUL8_MM_PIPELINE"}
+
+
 def check(n: int, mode: str) -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["GEMMUL8_PIPELINE"] = mode if mode.isdigit() else "0"
+    if mode in _ENV_GATES:
+        os.environ[_ENV_GATES[mode]] = "1"
     # jax.export's jaxpr traversal recurses deeply on the unrolled
     # 14-moduli graph; the default 1000-frame limit is not enough
     sys.setrecursionlimit(20000)
@@ -42,9 +51,10 @@ def check(n: int, mode: str) -> int:
 
     import gemmul8_tpu.pallas.kernels as K
     import gemmul8_tpu.pallas.matmul as M
+    import gemmul8_tpu.pallas.megakernel as MK
     import gemmul8_tpu.pallas.pipelined as P
 
-    for mod in (P, K, M):
+    for mod in (P, K, M, MK):
         mod._interpret = lambda: False  # force the Mosaic (TPU) kernel path
 
     from gemmul8_tpu.core import gemm as gg
