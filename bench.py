@@ -26,33 +26,10 @@ def main():
     # through the remote TPU compiler; cache hits make reruns instant
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # Backend-init watchdog: when the axon tunnel is down, the plugin's
-    # first device query blocks indefinitely in a C call — a SIGALRM
-    # handler would never run (the main thread never returns to
-    # bytecode), but a daemon thread can, since the hang releases the
-    # GIL around network waits. Bound init so a dead tunnel surfaces as
-    # a fast, visible failure, and refuse to run the 8192^3 protocol
-    # off-chip (days on a 1-CPU host).
-    import sys
-    import threading
-
-    init_done = threading.Event()
-
-    def _watchdog():
-        if not init_done.wait(600):
-            sys.stderr.write("[bench] TPU backend init timed out "
-                             "(axon tunnel down?)\n")
-            sys.stderr.flush()
-            import os as _os
-            _os._exit(1)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-    backend = jax.default_backend()
-    init_done.set()
-    if backend != "tpu":
-        print(f"[bench] no TPU backend (default_backend={backend!r}); "
-              "refusing the 8192^3 protocol off-chip", file=sys.stderr)
-        sys.exit(1)
+    # dead-tunnel protection: fail fast and visibly instead of hanging in
+    # backend init or grinding the 8192^3 protocol on CPU for days
+    from gemmul8_tpu.bench.timing import require_tpu
+    require_tpu()
     import jax.numpy as jnp
 
     from gemmul8_tpu.bench.matrices import phi_matrix

@@ -21,6 +21,39 @@ import time
 import numpy as np
 
 
+def require_tpu(timeout_s: int = 600) -> None:
+    """Bound TPU backend init and fail fast off-chip.
+
+    When the axon tunnel is down, the plugin's first device query blocks
+    forever in a C call; a SIGALRM handler never runs (the main thread
+    never returns to bytecode) but a daemon thread can, because the hang
+    releases the GIL around network waits. Exits the process with a
+    message on timeout or a non-TPU default backend — for bench/sweep
+    entry points whose protocols are meaningless off-chip."""
+    import sys
+    import threading
+
+    import jax
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout_s):
+            sys.stderr.write("[bench] TPU backend init timed out "
+                             "(axon tunnel down?)\n")
+            sys.stderr.flush()
+            import os
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    backend = jax.default_backend()
+    done.set()
+    if backend != "tpu":
+        print(f"[bench] no TPU backend (default_backend={backend!r})",
+              file=sys.stderr)
+        sys.exit(1)
+
+
 def fence(x) -> None:
     """True execution fence: a 1-element readback of the LAST leaf (the
     step functions put their checksum last, which depends on everything).

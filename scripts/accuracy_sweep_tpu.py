@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     import jax
+    from gemmul8_tpu.bench.timing import require_tpu
+    require_tpu()  # fail fast when the axon tunnel is down
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -24,6 +24,8 @@ import numpy as np
 
 def main():
     import jax
+    from gemmul8_tpu.bench.timing import require_tpu
+    require_tpu()  # fail fast when the axon tunnel is down
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

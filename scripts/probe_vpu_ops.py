@@ -25,6 +25,8 @@ import numpy as np
 
 def main():
     import jax
+    from gemmul8_tpu.bench.timing import require_tpu
+    require_tpu()  # fail fast when the axon tunnel is down
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

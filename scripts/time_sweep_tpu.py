@@ -16,6 +16,8 @@ def main():
     sizes = tuple(int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1
                                    else ("4096", "8192")))
     import jax
+    from gemmul8_tpu.bench.timing import require_tpu
+    require_tpu()  # fail fast when the axon tunnel is down
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
