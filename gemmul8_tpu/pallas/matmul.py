@@ -68,6 +68,30 @@ def barrett_fixup_params(kp: int, moduli_idx) -> tuple:
     return bias, tuple(reversed(fix_steps))
 
 
+def moduli_consts(moduli_idx):
+    """(mods int32, recips f32) SMEM-constant vectors for the kernels'
+    dynamic-modulus Barrett epilogues."""
+    mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
+    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
+                         jnp.float32)
+    return mods, recips
+
+
+def barrett_reduce(x, mj, rj, bias, fix_steps):
+    """Kernel-body float-estimate Barrett: canonical `x mod m` for an
+    int32 dot product x, dynamic modulus mj with reciprocal rj, and the
+    statically-proven (bias, fix_steps) from barrett_fixup_params. Shared
+    verbatim by every matmul-epilogue kernel (here, megakernel.py,
+    pipelined.py) — the bodies must stay bit-identical for the pipeline
+    parity invariants."""
+    q = jnp.floor(x.astype(jnp.float32) * rj
+                  - jnp.float32(bias)).astype(_I32)
+    r = x - q * mj
+    for s in fix_steps:
+        r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+    return r
+
+
 def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
                          moduli_idx=None,
                          block=(1024, 512, 8192)) -> jax.Array:
@@ -88,9 +112,7 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
     grid = (L, mp // bm, np_ // bn, kp // bk)
     # per-batch modulus constants, scalar-prefetched
-    mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
-    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
-                         jnp.float32)
+    mods, recips = moduli_consts(moduli_idx)
     bias, fix_steps = barrett_fixup_params(kp, moduli_idx)
 
     def kern(mods_ref, recips_ref, a_ref, b_ref, o_ref, acc_ref):
@@ -108,20 +130,10 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
 
         @pl.when(kk == klast)
         def _():
-            mj = mods_ref[l]
-            rj = recips_ref[l]
-            x = acc_ref[:]
-            # float-estimate Barrett with dynamic modulus (m >= 173),
-            # biased down so the estimate never overshoots; fixups sized
-            # from the static bound above (1 subtract at k = 8192)
-            q = jnp.floor(x.astype(jnp.float32) * rj
-                          - jnp.float32(bias)).astype(_I32)
-            r = x - q * mj
-            for s in fix_steps:
-                r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
             # modulus 256: the Barrett path handles it too (exact), but the
             # canonical residue may be 128..255 — uint8 output holds it.
-            o_ref[0] = r.astype(jnp.uint8)
+            o_ref[0] = barrett_reduce(acc_ref[:], mods_ref[l], recips_ref[l],
+                                      bias, fix_steps).astype(jnp.uint8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -185,9 +197,7 @@ def matmul_mod_u8_pipelined(a8: jax.Array, b8: jax.Array, num_moduli: int,
     b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
     nj = np_ // bn
     grid = (L, mp // bm, nj + 1)
-    mods = jnp.asarray([tables.MODULI[j] for j in moduli_idx], jnp.int32)
-    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in moduli_idx],
-                         jnp.float32)
+    mods, recips = moduli_consts(moduli_idx)
     bias, fix_steps = barrett_fixup_params(kp, moduli_idx)
 
     def kern(mods_ref, recips_ref, a_ref, b_ref, o_ref, acc0_ref, acc1_ref):
@@ -196,15 +206,8 @@ def matmul_mod_u8_pipelined(a8: jax.Array, b8: jax.Array, num_moduli: int,
         p = j & 1
 
         def epilogue(acc_ref):
-            mj = mods_ref[l]
-            rj = recips_ref[l]
-            x = acc_ref[:]
-            q = jnp.floor(x.astype(jnp.float32) * rj
-                          - jnp.float32(bias)).astype(_I32)
-            r = x - q * mj
-            for s in fix_steps:
-                r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
-            o_ref[0] = r.astype(jnp.uint8)
+            o_ref[0] = barrett_reduce(acc_ref[:], mods_ref[l], recips_ref[l],
+                                      bias, fix_steps).astype(jnp.uint8)
 
         def dot(acc_ref):
             acc_ref[:] = jax.lax.dot_general(
@@ -402,8 +405,7 @@ def matmul_crt_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     a8p = jnp.pad(a8, ((0, 0), (0, mp - m), (0, kp - k)))
     b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
     grid = (mp // bm, np_ // bn, L, kp // bk)
-    mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
-    recips = jnp.asarray([1.0 / m for m in tables.MODULI[:L]], jnp.float32)
+    mods, recips = moduli_consts(range(L))
     weights = jnp.asarray(tables.crt_weight_limbs(num_moduli), jnp.int32)  # (L, nl)
 
     def kern(mods_ref, recips_ref, w_ref, a_ref, b_ref, o_ref, acc_ref):

@@ -50,10 +50,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import tables
 from ..core import reconstruct as rec
 from ..types import F64Bits
-from .matmul import barrett_fixup_params
+from .matmul import barrett_fixup_params, barrett_reduce, \
+    moduli_consts
 
 _I32 = jnp.int32
 
@@ -99,8 +99,7 @@ def matmul_reconstruct_pallas(a8: jax.Array, b8: jax.Array,
     b8p = jnp.pad(b8, ((0, 0), (0, kp - k), (0, np_ - n)))
     sfta_p = jnp.pad(sft_a, ((0, mp - m), (0, 0)))
     sftb_p = jnp.pad(sft_b, ((0, 0), (0, np_ - n)))
-    mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
-    recips = jnp.asarray([1.0 / mm for mm in tables.MODULI[:L]], jnp.float32)
+    mods, recips = moduli_consts(range(L))
     bias, fix_steps = barrett_fixup_params(kp, tuple(range(L)))
     # rider slot budget per tile for the finalize chunks
     fin_slots = L * (KK - 2) if KK >= 3 else L
@@ -159,14 +158,8 @@ def matmul_reconstruct_pallas(a8: jax.Array, b8: jax.Array,
         def _barrett(src_ref):
             lp = jnp.where(l > 0, l - 1, L - 1)
             tp = jnp.where(l > 0, t, t - 1)
-            mj = mods_ref[lp]
-            rj = recips_ref[lp]
-            x = src_ref[:]
-            q = jnp.floor(x.astype(jnp.float32) * rj
-                          - jnp.float32(bias)).astype(_I32)
-            r = x - q * mj
-            for s in fix_steps:
-                r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
+            r = barrett_reduce(src_ref[:], mods_ref[lp], recips_ref[lp],
+                               bias, fix_steps)
             bank = jax.lax.rem(tp, jnp.int32(2)) * jnp.int32(L)
             res_ref[pl.ds(bank + lp, 1)] = r.astype(jnp.uint8)[None]
 

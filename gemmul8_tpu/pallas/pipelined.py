@@ -38,12 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import tables
 from ..core import encode as enc
 from ..types import F64Bits
 from .kernels import _rec_body, reconstruct_pallas, encode_slices_pallas, \
     fast_sft_pallas
-from .matmul import barrett_fixup_params
+from .matmul import barrett_fixup_params, barrett_reduce, \
+    moduli_consts
 
 _I32 = jnp.int32
 
@@ -54,6 +54,15 @@ def _ceil_to(x, a):
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _encode_f64_tile(hi_ref, lo_ref, sft_ref, num_moduli: int):
+    """Rider body: int8 residue slices of one f64 tile — the same
+    _f64_fields/_encode_with_sft bodies as encode_slices_pallas, so the
+    riders stay bit-identical to the up-front encode."""
+    chunks, exp, sign, normal = enc._f64_fields(hi_ref[:], lo_ref[:])
+    return enc._encode_with_sft(chunks, exp, sign, normal, sft_ref[:],
+                                num_moduli, 53, None)
 
 
 def _rider_tiles(pm: int, np_: int, steps: int):
@@ -193,9 +202,7 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
     # capture would specialize the Mosaic payload per panel)
     pidx = jnp.asarray([panel, max(next_panel, 0), max(prev_panel, 0)],
                        jnp.int32)
-    mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
-    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in range(L)],
-                         jnp.float32)
+    mods, recips = moduli_consts(range(L))
     bias, fix_steps = barrett_fixup_params(k, tuple(range(L)))
 
     if rec_rider:
@@ -230,14 +237,8 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
         j = pl.program_id(1)
         x = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        mj = mods_ref[l]
-        rj = recips_ref[l]
-        q = jnp.floor(x.astype(jnp.float32) * rj
-                      - jnp.float32(bias)).astype(_I32)
-        r = x - q * mj
-        for s in fix_steps:
-            r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
-        o_ref[0] = r.astype(jnp.uint8)
+        o_ref[0] = barrett_reduce(x, mods_ref[l], recips_ref[l],
+                                  bias, fix_steps).astype(jnp.uint8)
 
         if rec_rider:
             @pl.when(r_active(l, j))
@@ -249,11 +250,8 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
         if enc_rider:
             @pl.when(e_active(l, j))
             def _():
-                chunks, exp, sign, normal = enc._f64_fields(ahi_ref[:],
-                                                            alo_ref[:])
-                a8n_ref[:] = enc._encode_with_sft(
-                    chunks, exp, sign, normal, sae_ref[:], num_moduli,
-                    53, None)
+                a8n_ref[:] = _encode_f64_tile(ahi_ref, alo_ref,
+                                               sae_ref, num_moduli)
 
     if a8_full:
         a_spec = pl.BlockSpec((1, panel_m, k),
@@ -417,9 +415,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
     n = b8_left.shape[2]
     nt = n // bn
     ntL = nt // 2
-    mods = jnp.asarray(tables.MODULI[:L], jnp.int32)
-    recips = jnp.asarray([1.0 / tables.MODULI[j] for j in range(L)],
-                         jnp.float32)
+    mods, recips = moduli_consts(range(L))
     bias, fix_steps = barrett_fixup_params(k, tuple(range(L)))
 
     # ---- call 0a: matmul left + B-right encode rider ----
@@ -434,22 +430,13 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
         j = pl.program_id(1)
         x = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        mj = mods_ref[l]
-        rj = recips_ref[l]
-        q = jnp.floor(x.astype(jnp.float32) * rj
-                      - jnp.float32(bias)).astype(_I32)
-        r = x - q * mj
-        for s in fix_steps:
-            r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
-        o_ref[0] = r.astype(jnp.uint8)
+        o_ref[0] = barrett_reduce(x, mods_ref[l], recips_ref[l],
+                                  bias, fix_steps).astype(jnp.uint8)
 
         @pl.when(b_active(l, j))
         def _():
-            chunks, exp, sign, normal = enc._f64_fields(bhi_ref[:],
-                                                        blo_ref[:])
-            b8o_ref[:] = enc._encode_with_sft(
-                chunks, exp, sign, normal, sbe_ref[:], num_moduli, 53,
-                None)
+            b8o_ref[:] = _encode_f64_tile(bhi_ref, blo_ref, sbe_ref,
+                                          num_moduli)
 
     def _bsrc(l, j):
         t = b_tidx(l, j)
@@ -516,22 +503,13 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
         j = pl.program_id(1)
         x = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        mj = mods_ref[l]
-        rj = recips_ref[l]
-        q = jnp.floor(x.astype(jnp.float32) * rj
-                      - jnp.float32(bias)).astype(_I32)
-        r = x - q * mj
-        for s in fix_steps:
-            r = r - jnp.where(r >= s * mj, s * mj, _I32(0))
-        o_ref[0] = r.astype(jnp.uint8)
+        o_ref[0] = barrett_reduce(x, mods_ref[l], recips_ref[l],
+                                  bias, fix_steps).astype(jnp.uint8)
         if enc_rider:
             @pl.when(e_active(l, j))
             def _():
-                chunks, exp, sign, normal = enc._f64_fields(ahi_ref[:],
-                                                            alo_ref[:])
-                a8n_ref[:] = enc._encode_with_sft(
-                    chunks, exp, sign, normal, sae_ref[:], num_moduli,
-                    53, None)
+                a8n_ref[:] = _encode_f64_tile(ahi_ref, alo_ref,
+                                               sae_ref, num_moduli)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
