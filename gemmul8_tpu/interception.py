@@ -75,6 +75,7 @@ _ELIGIBLE = (jnp.float32, jnp.float64, jnp.complex64, jnp.complex128)
 
 _FORCED_MODE: Optional[str] = None
 _LAST_FUNC: str = ""
+_DEPTH: int = 0  # override_matmuls nesting depth (is_library_loaded)
 
 
 def set_compute_mode(mode: str) -> None:
@@ -95,6 +96,26 @@ def get_last_func_name() -> str:
     """Name+shape of the last intercepted matmul (hijack_control's
     last-called-function string)."""
     return _LAST_FUNC
+
+
+def is_library_loaded() -> bool:
+    """True while override_matmuls is active — the analog of the python
+    binding's is-the-hijack-in-place check (cuMpSGEMM LD_PRELOAD probe,
+    python/src/main.cpp:34-39): here the 'library' is the patched
+    jnp/lax bindings, so active patching == loaded."""
+    return _DEPTH > 0
+
+
+def enable_restoring_AB_after_scaling() -> None:
+    """cuMpSGEMM API-parity no-ops (python/src/main.cpp:72-79): its
+    SCALING mode rescales A/B in place on the GPU and optionally restores
+    them afterwards. JAX arrays are immutable — scaling never mutates the
+    caller's operands (ops/mpgemm.py returns scaled copies) — so there is
+    nothing to restore and both toggles are accepted for compatibility."""
+
+
+def disable_restoring_AB_after_scaling() -> None:
+    """See enable_restoring_AB_after_scaling."""
 
 
 @contextlib.contextmanager
@@ -271,9 +292,12 @@ def override_matmuls(num_moduli: Optional[int] = None,
     jnp.dot = patched_dot
     jnp.einsum = patched_einsum
     jax.lax.dot_general = patched_dot_general
+    global _DEPTH
+    _DEPTH += 1
     try:
         yield
     finally:
+        _DEPTH -= 1
         jnp.matmul = orig_matmul
         jnp.dot = orig_dot
         jnp.einsum = orig_einsum

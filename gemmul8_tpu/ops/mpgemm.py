@@ -116,11 +116,48 @@ def _scaled_bf16x3(a, b):
     return c * jnp.exp2(ea) * jnp.exp2(eb)
 
 
+_CUSTOM_MX2X2 = True
+
+
+def enable_custom_gemm_Mx2x2() -> None:
+    """Route (m, 2) x (2, 2) GEMMs through the skinny VPU path (default;
+    the cuGEMM-Mx2x2 submodule analog — cuBLAS, like the MXU, handles
+    these degenerate shapes poorly; cuMpSGEMM/python/src/main.cpp:42)."""
+    global _CUSTOM_MX2X2
+    _CUSTOM_MX2X2 = True
+
+
+def disable_custom_gemm_Mx2x2() -> None:
+    global _CUSTOM_MX2X2
+    _CUSTOM_MX2X2 = False
+
+
+def gemm_Mx2x2(a: jax.Array, b: jax.Array):
+    """GEMM-(2^p, 2, 2): a (..., m, 2) x b (..., 2, 2) as explicit VPU
+    broadcast-multiply-adds — a k=2, n=2 contraction wastes >=98% of the
+    128x128 MXU, so the elementwise form is the TPU equivalent of the
+    reference's custom skinny kernels (cuGEMM-Mx2x2/README.md:1-8; real
+    and complex, plain or strided-batch via leading batch dims)."""
+    assert a.shape[-1] == 2 and b.shape[-2:] == (2, 2), (a.shape, b.shape)
+    a0, a1 = a[..., 0:1], a[..., 1:2]
+
+    def bcol(i, j):  # (..., 1, 1): broadcasts against a's (..., m, 1)
+        return b[..., i:i + 1, j:j + 1]
+
+    return jnp.concatenate(
+        [a0 * bcol(0, 0) + a1 * bcol(1, 0),
+         a0 * bcol(0, 1) + a1 * bcol(1, 1)], axis=-1)
+
+
 def mp_gemm(a: jax.Array, b: jax.Array, mode: Mode = Mode.AUTO,
             auto_lost_threshold: float = 0.05):
     """Mutable-precision f32 GEMM. a (..., m, k) x b (..., k, n)."""
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
+    if _CUSTOM_MX2X2 and a.shape[-1] == 2 and b.shape[-2:] == (2, 2):
+        # f32 VPU mult-adds round once each — at least the accuracy of
+        # every mode (incl. SCALING's 2^s round trip), never worse
+        return gemm_Mx2x2(a, b)
     if mode == Mode.NATIVE:
         return jax.lax.dot_general(
             a, b, (((a.ndim - 1,), (b.ndim - 2,)), ((), ())),

@@ -55,3 +55,47 @@ def test_cgemm(data):
     refz = az.astype(np.complex128) @ bz.astype(np.complex128)
     err = np.abs(c.astype(np.complex128) - refz) / np.abs(refz)
     assert np.median(err) < 1e-5
+
+
+def test_gemm_mx2x2_matches_exact():
+    """(m, 2) x (2, 2) skinny path (cuGEMM-Mx2x2 analog): exact f32 VPU
+    mult-adds, plain / batched / complex, and the enable/disable toggle."""
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((257, 2)).astype(np.float32)
+    b = rng.standard_normal((2, 2)).astype(np.float32)
+    want = a.astype(np.float64) @ b.astype(np.float64)
+    got = np.asarray(mpgemm.mp_gemm(a, b, mpgemm.Mode.BF16TC))
+    # rerouted -> exact-to-f32, far tighter than bf16 would be
+    assert np.abs(got - want).max() < 1e-5
+    assert np.array_equal(got, np.asarray(mpgemm.gemm_Mx2x2(a, b)))
+    # strided batch via leading dims
+    ab = rng.standard_normal((3, 65, 2)).astype(np.float32)
+    bb = rng.standard_normal((3, 2, 2)).astype(np.float32)
+    gotb = np.asarray(mpgemm.gemm_Mx2x2(ab, bb))
+    for i in range(3):
+        assert np.allclose(gotb[i], ab[i] @ bb[i], atol=1e-6)
+    # complex via mp_cgemm's 4 real products
+    az = (a + 0.3j * a).astype(np.complex64)
+    bz = (b - 0.7j * b).astype(np.complex64)
+    gz = np.asarray(mpgemm.mp_cgemm(az, bz, mpgemm.Mode.BF16TC))
+    assert np.abs(gz - az.astype(np.complex128) @ bz).max() < 1e-4
+    # toggle off -> the bf16 path runs and is visibly coarser
+    mpgemm.disable_custom_gemm_Mx2x2()
+    try:
+        coarse = np.asarray(mpgemm.mp_gemm(a, b, mpgemm.Mode.BF16TC))
+        assert np.abs(coarse - want).max() > 1e-5
+    finally:
+        mpgemm.enable_custom_gemm_Mx2x2()
+
+
+def test_hijack_control_load_probe():
+    import jax.numpy as jnp2
+    from gemmul8_tpu import interception as icp
+
+    assert not icp.is_library_loaded()
+    with icp.override_matmuls(num_moduli=8):
+        assert icp.is_library_loaded()
+    assert not icp.is_library_loaded()
+    # parity no-ops must exist and accept calls
+    icp.enable_restoring_AB_after_scaling()
+    icp.disable_restoring_AB_after_scaling()
