@@ -142,10 +142,15 @@ def mantissa_loss_stats(bits: F64Bits, num_split: int, axis: int):
     return jnp.sum(lost) / cnt.astype(jnp.float32)
 
 
-def auto_num_split(a: F64Bits, b: F64Bits, threshold: float = 2.0,
+def auto_num_split(a: F64Bits, b: F64Bits, threshold: float | None = None,
                    candidates=range(3, 17)) -> int:
     """ozIMMU `fp64_int8_auto` analog: the smallest slice count whose
-    average mantissa loss (both operands) is below `threshold` bits."""
+    average mantissa loss (both operands) is below `threshold` bits
+    (default: the GEMMUL8_AUTO_AVG_MANTISSA_LOSS_THRESHOLD env knob,
+    mirroring OZIMMU_AUTO_AVG_MANTISSA_LOSS_THRESHOLD)."""
+    if threshold is None:
+        from .. import config as cfg
+        threshold = cfg.get_config().auto_avg_mantissa_loss_threshold
     for s in candidates:
         la = float(mantissa_loss_stats(a, s, axis=1))
         lb_ = float(mantissa_loss_stats(b, s, axis=0))

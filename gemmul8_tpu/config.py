@@ -13,6 +13,11 @@ re-expressed for this engine:
   GEMMUL8_INFO / GEMMUL8_ERROR  1 = emit info/error logs to stderr
   GEMMUL8_PROFILE               1 = record per-call profiles (see
                                 interception.get_profile_log())
+  GEMMUL8_AUTO_AVG_MANTISSA_LOSS_THRESHOLD
+                                OS-I auto-split bit budget (float; the
+                                OZIMMU_AUTO_AVG_MANTISSA_LOSS_THRESHOLD
+                                mirror, ozIMMU_EF/README.md:68-69) —
+                                baselines.ozimmu.auto_num_split default
 """
 
 from __future__ import annotations
@@ -67,6 +72,9 @@ class Config:
                                                           True))
     profile: bool = field(default_factory=lambda: _env_flag("GEMMUL8_PROFILE",
                                                             False))
+    auto_avg_mantissa_loss_threshold: float = field(
+        default_factory=lambda: float(os.environ.get(
+            "GEMMUL8_AUTO_AVG_MANTISSA_LOSS_THRESHOLD", "2.0")))
 
 
 _config: Config | None = None
