@@ -76,6 +76,51 @@ def test_dgemm_bands_at_reference_scale(operands, fast):
         assert got[l1] <= max(got[l0] * 1.5, 5e-16), (l0, l1, got)
 
 
+# SGEMM emulation at phi=0, k=8192 (the reference's f32 protocol:
+# test_float.cu adds phi=0; GH200 CSV 'OS2-fast (k=8192)' row of
+# oz2_results_f_accuracy_NVIDIA_GH200_480GB_2025-04-09_01-42-47.csv).
+# At phi=0 the MAX relerr is a near-zero-output cancellation lottery —
+# the reference's own native-SGEMM line is 0.97 and its fast plateau
+# wanders 8e-6..1.3e-4 with L — so max-vs-max band comparison compares
+# two seeds' minimum |output|, not the algorithms (this seed: our native
+# line is 0.41, same pathology). The stable reference statistics are:
+# the curve crosses below native SGEMM by moduli 8 (BASELINE.md §3 —
+# whose prose misattributes 5.33e-01 to moduli 6; the CSV header places
+# it at 7) and the fast-8 MEDIAN is ~1.03e-07 (§2 time row, phi=0.5).
+REF_F_FAST8_MED = 1.03e-07
+
+
+def test_sgemm_bands_at_reference_scale():
+    from gemmul8_tpu import gemm
+    from gemmul8_tpu.bench.matrices import phi_matrix
+    from gemmul8_tpu.bench.native import dd_gemm, relerr_vs_dd
+    from gemmul8_tpu.types import as_numpy
+
+    m, k = 1024, 8192
+    a = phi_matrix(m, k, 0.0, seed=123456).astype(np.float32)
+    b = phi_matrix(k, m, 0.0, seed=123457).astype(np.float32)
+    ref_hi, ref_lo = dd_gemm(a.astype(np.float64), b.astype(np.float64))
+    native = a @ b
+    mx_native, _ = relerr_vs_dd(native.astype(np.float64), ref_hi, ref_lo)
+    got = {}
+    for L in (5, 6, 7, 8, 10, 12, 14):
+        c = as_numpy(gemm(a, b, num_moduli=L))
+        got[L] = relerr_vs_dd(c.astype(np.float64), ref_hi, ref_lo)
+    # monotone max-relerr decrease until the f32-rounding plateau
+    for l0, l1 in ((5, 6), (6, 7), (7, 8), (8, 10)):
+        assert got[l1][0] <= got[l0][0] * 1.5, (l0, l1, got)
+    # crosses below the native SGEMM line by moduli 8 (reference claim)
+    assert got[8][0] < mx_native, (got[8], mx_native)
+    # fast-8 median at or inside the reference's (2x slack; measured
+    # 5.2e-08 at this seed vs the reference's 1.03e-07)
+    assert got[8][1] <= REF_F_FAST8_MED * 2.0, got[8]
+    # 10+ moduli: the exact-CRT result rounds once to f32, so even the
+    # max sits below the native f32-arithmetic line by orders of
+    # magnitude (measured 8.4e-06 at 10, 6.0e-08 at 12-14)
+    for L in (10, 12, 14):
+        assert got[L][0] < mx_native * 1e-3, (L, got[L])
+
+
 @pytest.mark.parametrize("fast", [True, False])
 def test_mixed_double_bands_at_reference_scale(operands, fast):
     """FP64 x FP32 -> FP64 (the reference's test_mixed_double protocol,
