@@ -6,6 +6,11 @@ vs_baseline normalizes against the reference's GH200 OS2-fast-14 row
 chips (GH200 int8 probe 1575 TOPS vs TPU v5e 394.5 TOPS): an equal-quality
 implementation on this chip would score 72.13 * 394.5/1575 = 18.07 TFLOPS.
 Prints one JSON line.
+
+Schedule selection: the panel/rider pipeline (GEMMUL8_PIPELINE=3) and the
+monolithic fused path are both compiled, accuracy-gated against the dd
+oracle, speed-probed with a short chained run, and the faster one is
+measured. Override the candidate list with GEMMUL8_BENCH_MODES="3,1,0".
 """
 
 import json
@@ -16,10 +21,6 @@ import numpy as np
 
 
 def main():
-    # opt in to the most-hidden panel/rider schedule; the warmup accuracy
-    # gate below (vs the dd oracle, one tile per risky write region)
-    # reverts to the monolithic schedule on any chip-side failure
-    os.environ.setdefault("GEMMUL8_PIPELINE", "3")
     import jax
 
     # persistent compile cache: the 8192^3 graphs take minutes to compile
@@ -30,9 +31,12 @@ def main():
     # backend init or grinding the 8192^3 protocol on CPU for days
     from gemmul8_tpu.bench.timing import require_tpu
     require_tpu()
+    import sys
+
     import jax.numpy as jnp
 
     from gemmul8_tpu.bench.matrices import phi_matrix
+    from gemmul8_tpu.bench.native import dd_gemm, relerr_vs_dd
     from gemmul8_tpu.core import gemm as gg
     from gemmul8_tpu.types import F64Bits, bits_to_f64, f64_to_bits
 
@@ -56,8 +60,6 @@ def main():
         # output would charge ~1.5 ms of measurement plumbing to the GEMM
         return o, jnp.sum(o.hi[::64, ::64] ^ o.lo[::64, ::64]), y_lo
 
-    from gemmul8_tpu.bench.native import dd_gemm, relerr_vs_dd
-
     # one gate tile per risky on-chip write region: the pipeline schedule's
     # aliased writes are asserted bit-exact in interpret mode, which cannot
     # model Mosaic's prefetch/flush behavior — a wrong-on-chip schedule must
@@ -66,6 +68,7 @@ def main():
     # writes + B's right-half rider encode (middle rows x right cols), and
     # the last panel's aliased reconstruct (bottom-right).
     _GATE_TILES = [(0, 0), (n // 2, n - 256), (n - 256, n - 256)]
+    _ref_tiles = {}
 
     def warmup_relerr(out):
         worst = 0.0
@@ -73,59 +76,70 @@ def main():
             got = bits_to_f64(F64Bits(out.hi[r:r + 256, c:c + 256],
                                       out.lo[r:r + 256, c:c + 256]),
                               to_numpy=True)
-            ref_hi, ref_lo = dd_gemm(a[r:r + 256],
-                                     np.ascontiguousarray(a.T[:, c:c + 256]))
+            if (r, c) not in _ref_tiles:
+                _ref_tiles[r, c] = dd_gemm(
+                    a[r:r + 256], np.ascontiguousarray(a.T[:, c:c + 256]))
+            ref_hi, ref_lo = _ref_tiles[r, c]
             rel, _ = relerr_vs_dd(got, ref_hi, ref_lo)
             worst = max(worst, rel)
         return worst
 
-    f = jax.jit(run, donate_argnums=(2,))
-    s = jnp.uint32(0)
-    b_lo = B.lo
-    try:
-        out, s, b_lo = f(A, B.hi, b_lo, s)
-        int(s)
-        rel0 = warmup_relerr(out)
-        if not rel0 < 1e-8:
-            raise RuntimeError(f"warmup accuracy gate: relerr {rel0:.2e}")
-    except Exception as e:  # pragma: no cover - chip-side safety net
-        # If the default path (e.g. the panel/rider pipeline) fails to
-        # compile, execute, or produce correct output on this chip, fall
-        # back to the monolithic schedule rather than losing (or
-        # corrupting) the benchmark row.
-        import sys
-        print(f"[bench] default path failed ({type(e).__name__}: {e}); "
-              "retrying with GEMMUL8_PIPELINE=0", file=sys.stderr)
-        os.environ["GEMMUL8_PIPELINE"] = "0"
-        B2 = f64_to_bits(a.T.copy())
-        b_lo = B2.lo
+    def sync_rtt(s):
+        t = time.perf_counter()
+        int(jnp.sum(s))
+        return time.perf_counter() - t
 
-        def run_fb(x, y_hi, y_lo, s_prev):
+    # Timing protocol: enqueue all chained iterations, sync once at the
+    # end, subtract one measured sync round trip. The remote-TPU tunnel has
+    # a ~60 ms host<->device RTT; syncing per iteration would measure the
+    # tunnel, not the chip (the reference's 100-iter average has the same
+    # chained structure, test_double.cu:201-488).
+    def chained(f, state, iters):
+        out, s, b_lo = state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, s, b_lo = f(A, B.hi, b_lo, s)
+        int(s)
+        t_total = time.perf_counter() - t0
+        return (t_total - sync_rtt(s)) / iters, (out, s, b_lo)
+
+    modes = [int(x) for x in
+             os.environ.get("GEMMUL8_BENCH_MODES", "3,0").split(",")]
+    if 0 not in modes:
+        modes.append(0)  # the monolithic schedule is the safety net
+
+    # Compile + accuracy-gate each candidate schedule, then speed-probe it
+    # with a short chained run; measure the fastest. A candidate that fails
+    # to compile, execute, or pass the gate is skipped (the monolithic
+    # schedule has no aliased writes and must pass).
+    survivors = []  # (dt_probe, mode, fn, state)
+    for mode in modes:
+        os.environ["GEMMUL8_PIPELINE"] = str(mode)
+
+        def run_m(x, y_hi, y_lo, s_prev, _mode=mode):
             return run(x, y_hi, y_lo, s_prev)
 
-        f = jax.jit(run_fb, donate_argnums=(2,))
-        s = jnp.uint32(0)
-        out, s, b_lo = f(A, B.hi, b_lo, s)
-        int(s)
-        rel1 = warmup_relerr(out)
-        assert rel1 < 1e-8, f"monolithic path also wrong: {rel1:.2e}"
-    int(jnp.sum(s))  # warm the sync-probe op so its compile isn't timed
-    # Timing protocol: enqueue all chained iterations, sync once at the
-    # end. The remote-TPU tunnel has a ~60 ms host<->device round trip;
-    # syncing per iteration would measure the tunnel, not the chip (the
-    # reference's 100-iter average has the same structure,
-    # test_double.cu:201-488).
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, s, b_lo = f(A, B.hi, b_lo, s)
-    int(s)
-    t_total = time.perf_counter() - t0
-    # one empty round trip to estimate the final-sync overhead
-    t1 = time.perf_counter()
-    int(jnp.sum(s))
-    t_sync = time.perf_counter() - t1
-    dt = (t_total - t_sync) / iters
+        f = jax.jit(run_m, donate_argnums=(2,))
+        try:
+            b_lo = jnp.array(B.lo)  # fresh copy: each candidate donates it
+            s = jnp.uint32(0)
+            out, s, b_lo = f(A, B.hi, b_lo, s)  # compile + warmup
+            int(s)
+            rel0 = warmup_relerr(out)
+            if not rel0 < 1e-8:
+                raise RuntimeError(f"warmup accuracy gate: relerr {rel0:.2e}")
+            sync_rtt(s)  # warm the sync-probe op so its compile isn't timed
+            dt, state = chained(f, (out, s, b_lo), 5)
+            survivors.append((dt, mode, f, state))
+            print(f"[bench] mode {mode}: probe {dt*1e3:.2f} ms/call "
+                  f"(relerr {rel0:.2e})", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - chip-side safety net
+            print(f"[bench] mode {mode} failed "
+                  f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
+    assert survivors, "every schedule failed, incl. monolithic"
+
+    dt0, mode, f, state = min(survivors)
+    dt, (out, s, b_lo) = chained(f, state, 20)
     tflops = 2 * n ** 3 / dt / 1e12
 
     # accuracy spot check on the gate tiles vs the dd oracle (a plain f64
@@ -137,7 +151,8 @@ def main():
     baseline_equiv = 72.13 * 394.5 / 1575.0
     print(json.dumps({
         "metric": "emulated DGEMM TFLOP/s (8192^3, 14 moduli, fast, "
-                  f"1 chip; max relerr vs dd ref {relerr:.2e})",
+                  f"1 chip, schedule {mode}; max relerr vs dd ref "
+                  f"{relerr:.2e})",
         "value": round(tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(tflops / baseline_equiv, 3),

@@ -296,6 +296,27 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
                                  t_scale=times[0], t_int8gemm=times[1],
                                  t_mod=times[2], t_invscale=times[3]))
 
+        if dtype == "f":
+            # the cuMpSGEMM FP16TCEC_SCALING comparison row (the
+            # reference's f-time CSV includes it, test_float.cu:27-57):
+            # bf16x3 split-and-correct SGEMM with dynamic pow2 scaling
+            from ..ops import mpgemm as mp
+
+            def mp_step(st):
+                x, y, s = st
+                y = y.at[0, 0].add(0 * s)
+                return x, y, jnp.sum(mp.mp_gemm(x, y, mode=mp.Mode.SCALING))
+
+            fmp = jax.jit(mp_step, donate_argnums=(0,))
+            tmp_, _ = chained_time(
+                fmp, (jnp.asarray(a), jnp.asarray(b),
+                      jnp.zeros((), jnp.float32)), iters)
+            rows.append(dict(phi=phi, m=n, n=n, k=n,
+                             func="BF16X3-SCALING",
+                             seconds=tmp_, tflops=flops / tmp_ / 1e12,
+                             t_scale=np.nan, t_int8gemm=np.nan,
+                             t_mod=np.nan, t_invscale=np.nan))
+
         if dtype == "d":
             for s in include_osi:
                 bits_a, bits_b = f64_to_bits(a), f64_to_bits(b)
