@@ -135,14 +135,18 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             cfg = pp.choose_panels(a.shape[0], b.shape[1], a.shape[1],
                                    num_moduli, encode_rider=pipe >= 2) \
                 if pipe else None
-            if (cfg and fastmode and out_dtype == "f64"
+            if (cfg and out_dtype == "f64"
                     and sft_a is not None
                     and isinstance(a, F64Bits) and isinstance(b, F64Bits)):
                 # panel/rider pipeline: the CRT reconstruct of panel p-1
                 # (and, at level 2, the encode of A-panel p+1; at level 3
                 # also B's right-half encode in a split first panel) rides
                 # inside panel p's matmul kernel as independent VPU work
-                # the MXU hides (bit-identical; pallas/pipelined.py)
+                # the MXU hides (bit-identical; pallas/pipelined.py).
+                # Accurate mode rides the same schedule: its shifts were
+                # already selected above (mag7 + magnitude-GEMM pre-phase
+                # runs bare), and encode/matmul/reconstruct are
+                # shift-agnostic downstream.
                 bsp = (pipe == 3 and pp.bsplit_applicable(
                     a.shape[0], b.shape[1], a.shape[1], num_moduli,
                     cfg[0], cfg[1]))
@@ -255,11 +259,12 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             cfg = pp.choose_panels(a.shape[0], bp.shape[1], a.shape[1],
                                    num_moduli) \
                 if pp.pipeline_mode() else None
-            if (cfg and fastmode and out_dtype == "f64"
+            if (cfg and out_dtype == "f64"
                     and isinstance(a, F64Bits)):
-                # per-column-panel m-pipeline: A encoded once and shared;
-                # the reconstruct rider hides all but the last m-panel's
-                # CRT (bit-identical; pallas/pipelined.py)
+                # per-column-panel m-pipeline: A encoded once and shared
+                # (re-encoded per panel in accurate mode, whose shifts
+                # depend on B); the reconstruct rider hides all but the
+                # last m-panel's CRT (bit-identical; pallas/pipelined.py)
                 outs.append(pp.gemm_fast_pipelined_f64(
                     a, bp, num_moduli, panel_m=cfg[0], bn=cfg[1],
                     sfts=(sft_a, sft_b), a8=a8))

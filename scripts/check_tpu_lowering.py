@@ -11,8 +11,9 @@ the chip; bench.py accuracy-gates those.
 Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
   n     matrix size (default 512)
   mode  GEMMUL8_PIPELINE values 0-3, or: "accu" (accurate-mode mag7
-        path), "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE /
-        FUSED_RECONSTRUCT / MM_PIPELINE env-gated branches).
+        path), "accu3" (accurate mode riding the mode-3 pipeline),
+        "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE / FUSED_RECONSTRUCT /
+        MM_PIPELINE env-gated branches).
         Default: 0 3
 
 Each config lowers in ~1 s (plus the jax import); the pytest wrapper
@@ -33,7 +34,8 @@ _ENV_GATES = {"fe": "GEMMUL8_FUSED_ENCODE", "fr": "GEMMUL8_FUSED_RECONSTRUCT",
 
 def check(n: int, mode: str) -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["GEMMUL8_PIPELINE"] = mode if mode.isdigit() else "0"
+    os.environ["GEMMUL8_PIPELINE"] = (mode if mode.isdigit()
+                                      else "3" if mode == "accu3" else "0")
     if mode in _ENV_GATES:
         os.environ[_ENV_GATES[mode]] = "1"
     # jax.export's jaxpr traversal recurses deeply on the unrolled
@@ -60,11 +62,12 @@ def check(n: int, mode: str) -> int:
     from gemmul8_tpu.core import gemm as gg
     from gemmul8_tpu.types import F64Bits
 
-    if mode == "3":
+    if mode in ("3", "accu3"):
         assert P.choose_panels(n, n, n, 14, encode_rider=True) is not None, \
             f"panel schedule must apply at n={n}"
 
-    fastmode = mode != "accu"  # "accu": accurate-mode (mag7 Pallas) path
+    # "accu"/"accu3": accurate-mode (mag7 Pallas) path
+    fastmode = mode not in ("accu", "accu3")
 
     def fwd(ahi, alo, bhi, blo):
         out = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, blo), 14,

@@ -107,6 +107,38 @@ def test_bsplit_via_gemm_core(monkeypatch):
     assert bool(jnp.all(ref.lo == got.lo))
 
 
+@pytest.mark.parametrize("pipe", ["1", "3"])
+def test_accurate_mode_pipelined(monkeypatch, pipe):
+    # accurate mode shares the schedule: shifts come from the mag7 +
+    # magnitude-GEMM pre-phase, then the same encode/matmul/reconstruct
+    # riders run — must stay bit-identical to the monolithic accu path
+    m, k, n = 512, 1024, 1024
+    a = _phi(m, k, 1.5, seed=21)
+    b = _phi(k, n, 1.5, seed=22)
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    ref = gg.gemm_core(A, B, 9, False, "f64", use_pallas=True)
+    monkeypatch.setenv("GEMMUL8_PIPELINE", pipe)
+    got = gg.gemm_core(A, B, 9, False, "f64", use_pallas=True)
+    assert bool(jnp.all(ref.hi == got.hi))
+    assert bool(jnp.all(ref.lo == got.lo))
+
+
+def test_accurate_mode_panels_pipelined(monkeypatch):
+    # column-panel schedule, accurate mode: per-panel shifts re-encode A,
+    # the m-pipeline hides each panel's reconstruct — bit-identical
+    m, k, n = 512, 384, 512
+    a = _phi(m, k, 1.0, seed=23)
+    b = _phi(k, n, 1.0, seed=24)
+    A, B = f64_to_bits(a), f64_to_bits(b)
+    ref = gg.gemm_core_panels(A, B, 9, False, "f64", n_panel=256,
+                              use_pallas=True)
+    monkeypatch.setenv("GEMMUL8_PIPELINE", "1")
+    got = gg.gemm_core_panels(A, B, 9, False, "f64", n_panel=256,
+                              use_pallas=True)
+    assert bool(jnp.all(ref.hi == got.hi))
+    assert bool(jnp.all(ref.lo == got.lo))
+
+
 def test_applicability_gates():
     assert pp.pipeline_applicable(8192, 8192, 8192, 14)
     assert not pp.pipeline_applicable(1024, 8192, 8192, 14)   # < 2 panels
