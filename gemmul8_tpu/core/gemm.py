@@ -135,9 +135,14 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             cfg = pp.choose_panels(a.shape[0], b.shape[1], a.shape[1],
                                    num_moduli, encode_rider=pipe >= 2) \
                 if pipe else None
-            if (cfg and out_dtype == "f64"
-                    and sft_a is not None
-                    and isinstance(a, F64Bits) and isinstance(b, F64Bits)):
+            pipe_kind = None
+            if isinstance(a, F64Bits) and isinstance(b, F64Bits) \
+                    and out_dtype == "f64":
+                pipe_kind = "f64"
+            elif not isinstance(a, F64Bits) and not isinstance(b, F64Bits) \
+                    and out_dtype == "f32":
+                pipe_kind = "f32"
+            if cfg and sft_a is not None and pipe_kind:
                 # panel/rider pipeline: the CRT reconstruct of panel p-1
                 # (and, at level 2, the encode of A-panel p+1; at level 3
                 # also B's right-half encode in a split first panel) rides
@@ -146,15 +151,16 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                 # Accurate mode rides the same schedule: its shifts were
                 # already selected above (mag7 + magnitude-GEMM pre-phase
                 # runs bare), and encode/matmul/reconstruct are
-                # shift-agnostic downstream.
+                # shift-agnostic downstream. The pure-f32 SGEMM path rides
+                # it too (f32 encode/reconstruct bodies, same kernels).
                 bsp = (pipe == 3 and pp.bsplit_applicable(
                     a.shape[0], b.shape[1], a.shape[1], num_moduli,
                     cfg[0], cfg[1]))
-                return pp.gemm_fast_pipelined_f64(a, b, num_moduli,
-                                                  panel_m=cfg[0], bn=cfg[1],
-                                                  sfts=(sft_a, sft_b),
-                                                  encode_rider=pipe >= 2,
-                                                  b_rider=bsp)
+                return pp.gemm_pipelined(a, b, num_moduli, kind=pipe_kind,
+                                         panel_m=cfg[0], bn=cfg[1],
+                                         sfts=(sft_a, sft_b),
+                                         encode_rider=pipe >= 2,
+                                         b_rider=bsp)
 
             if sft_a is None:
                 a8, sft_a = pk.fast_encode_fused_pallas(a, num_moduli,
@@ -259,14 +265,20 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             cfg = pp.choose_panels(a.shape[0], bp.shape[1], a.shape[1],
                                    num_moduli) \
                 if pp.pipeline_mode() else None
-            if (cfg and out_dtype == "f64"
-                    and isinstance(a, F64Bits)):
+            if out_dtype == "f64" and isinstance(a, F64Bits):
+                pipe_kind = "f64"
+            elif out_dtype == "f32" and not isinstance(a, F64Bits):
+                pipe_kind = "f32"
+            else:
+                pipe_kind = None
+            if cfg and pipe_kind:
                 # per-column-panel m-pipeline: A encoded once and shared
                 # (re-encoded per panel in accurate mode, whose shifts
                 # depend on B); the reconstruct rider hides all but the
                 # last m-panel's CRT (bit-identical; pallas/pipelined.py)
-                outs.append(pp.gemm_fast_pipelined_f64(
-                    a, bp, num_moduli, panel_m=cfg[0], bn=cfg[1],
+                outs.append(pp.gemm_pipelined(
+                    a, bp, num_moduli, kind=pipe_kind,
+                    panel_m=cfg[0], bn=cfg[1],
                     sfts=(sft_a, sft_b), a8=a8))
                 continue
             b8 = pk.encode_slices_pallas(bp, sft_b, num_moduli, axis=0)

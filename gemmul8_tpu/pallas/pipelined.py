@@ -65,6 +65,38 @@ def _encode_f64_tile(hi_ref, lo_ref, sft_ref, num_moduli: int):
                                 num_moduli, 53, None)
 
 
+def _encode_f32_tile(bits_ref, sft_ref, num_moduli: int):
+    """f32 rider body (operand as uint32 bit patterns, like
+    encode_slices_pallas's internal bitcast)."""
+    chunks, exp, sign, normal = enc._f32_fields(bits_ref[:])
+    return enc._encode_with_sft(chunks, exp, sign, normal, sft_ref[:],
+                                num_moduli, 24, None)
+
+
+def _src_arrays(x, kind: str):
+    """Operand leaves for a rider's source: (hi, lo) for f64 bit pairs,
+    a single uint32 bitcast for f32 (passed through unchanged when the
+    caller already bitcast it — _RawSrc)."""
+    if kind == "f64":
+        return (x.hi, x.lo)
+    if isinstance(x, _RawSrc):
+        return (x.bits,)
+    return (jax.lax.bitcast_convert_type(x.astype(jnp.float32),
+                                         jnp.uint32),)
+
+
+def _encode_tile(src_refs, sft_ref, num_moduli: int, kind: str):
+    if kind == "f64":
+        return _encode_f64_tile(src_refs[0], src_refs[1], sft_ref,
+                                num_moduli)
+    return _encode_f32_tile(src_refs[0], sft_ref, num_moduli)
+
+
+def _rec_out(kind: str):
+    """(leaf count, leaf dtype) of the reconstruct output."""
+    return (2, jnp.uint32) if kind == "f64" else (1, jnp.float32)
+
+
 def _rider_tiles(pm: int, np_: int, steps: int):
     """Rider tile shape (brm, brn) covering a (pm, np_) panel with at most
     `steps` tiles (one tile per grid step), lane-friendly (brn mult of 128,
@@ -158,22 +190,28 @@ def _sched(nt: int, tiles: int, phase: int, nphases: int):
 def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                       sft_a, sft_b, num_moduli: int,
                       panel_m: int = 1024, bn: int = 512, *,
-                      a_src: F64Bits | None = None, next_panel: int = -1,
-                      acc=None):
+                      a_src=None, next_panel: int = -1,
+                      acc=None, kind: str = "f64"):
     """One pipeline stage: int8 matmul (+Barrett uint8 epilogue) of one
     A panel against all of B, with up to two riders on the grid steps:
       - CRT reconstruct of panel `prev_panel` (skipped when r_prev is
         None — the first panel),
-      - int8 encode of A-panel `next_panel` from the f64 source `a_src`
+      - int8 encode of A-panel `next_panel` from the source `a_src`
         (skipped when a_src is None — the last panel, or rec-only mode).
+
+    kind: "f64" (operands F64Bits, output hi/lo uint32 pairs) or "f32"
+    (operands f32 arrays passed as uint32 bitcasts, output one f32
+    buffer per panel) — the rider bodies dispatch on it, everything
+    else (matmul, Barrett, schedules) is dtype-blind.
 
     a8: (L, panel_m, k) int8 — this panel's slices — OR the full
     (L, m, k) array (rec-only mode; the panel is selected via a
     prefetched scalar so every stage shares one compiled kernel).
     b8: (L, k, n) int8; r_prev: (L, panel_m, n) uint8 residues of the
     previous panel; sft_a: (m, 1) int32 full shift vector; sft_b: (1, n).
-    Returns (res_panel (L, panel_m, n) uint8, hi_prev, lo_prev, a8_next)
-    — hi/lo are (panel_m, n) uint32 or None when r_prev is None; a8_next
+    Returns (res_panel (L, panel_m, n) uint8, rec_leaves, a8_next) —
+    rec_leaves is the (panel_m, n) reconstruct-output tuple ((hi, lo)
+    uint32 for f64, (f32,) for f32) or None when r_prev is None; a8_next
     is (L, panel_m, next-panel slices) int8 or None when a_src is None.
 
     acc: accumulate the rider's reconstruct output into FULL-SIZE (m, n)
@@ -218,6 +256,9 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                                   nphases - 1, nphases)
         erows = panel_m // berm
 
+    n_rec, rec_dtype = _rec_out(kind)
+    n_src = 2 if kind == "f64" else 1
+
     def kern(*refs):
         it = iter(refs)
         pidx_ref, mods_ref, recips_ref = next(it), next(it), next(it)
@@ -225,12 +266,14 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
         if rec_rider:
             r_ref, sa_ref, sb_ref = next(it), next(it), next(it)
         if enc_rider:
-            ahi_ref, alo_ref, sae_ref = next(it), next(it), next(it)
+            src_refs = [next(it) for _ in range(n_src)]
+            sae_ref = next(it)
         if acc_chain:
-            next(it), next(it)  # aliased hi/lo inputs: never read
+            for _ in range(n_rec):
+                next(it)  # aliased reconstruct inputs: never read
         o_ref = next(it)
         if rec_rider:
-            hi_ref, lo_ref = next(it), next(it)
+            rec_refs = [next(it) for _ in range(n_rec)]
         if enc_rider:
             a8n_ref = next(it)
         l = pl.program_id(0)
@@ -243,15 +286,15 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
         if rec_rider:
             @pl.when(r_active(l, j))
             def _():
-                hi, lo = _rec_body(r_ref[:], sa_ref[:], sb_ref[:],
-                                   num_moduli, "f64")
-                hi_ref[:] = hi
-                lo_ref[:] = lo
+                outs = _rec_body(r_ref[:], sa_ref[:], sb_ref[:],
+                                 num_moduli, kind)
+                for ref, val in zip(rec_refs, outs):
+                    ref[:] = val
         if enc_rider:
             @pl.when(e_active(l, j))
             def _():
-                a8n_ref[:] = _encode_f64_tile(ahi_ref, alo_ref,
-                                               sae_ref, num_moduli)
+                a8n_ref[:] = _encode_tile(src_refs, sae_ref, num_moduli,
+                                          kind)
 
     if a8_full:
         a_spec = pl.BlockSpec((1, panel_m, k),
@@ -291,7 +334,7 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                 lambda l, j, *refs: (r_tidx(l, j) // ncols,
                                      r_tidx(l, j) % ncols),
                 memory_space=pltpu.VMEM)
-            rec_out_shape = jax.ShapeDtypeStruct((panel_m, n), jnp.uint32)
+            rec_out_shape = jax.ShapeDtypeStruct((panel_m, n), rec_dtype)
         else:
             # full-size accumulation: write this rider's tiles into the
             # prev-panel row region of an (m, n) buffer
@@ -302,9 +345,9 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                     pidx_r[2] * prow + r_tidx(l, j) // ncols,
                     r_tidx(l, j) % ncols),
                 memory_space=pltpu.VMEM)
-            rec_out_shape = jax.ShapeDtypeStruct((m_total, n), jnp.uint32)
-        out_specs += [rec_out_spec, rec_out_spec]
-        out_shapes += [rec_out_shape, rec_out_shape]
+            rec_out_shape = jax.ShapeDtypeStruct((m_total, n), rec_dtype)
+        out_specs += [rec_out_spec] * n_rec
+        out_shapes += [rec_out_shape] * n_rec
         operands += [r_prev, sa_prev, sft_b]
     if enc_rider:
         # source blocks offset into the NEXT panel's rows via the
@@ -313,14 +356,14 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
             t = e_tidx(l, j)
             return (pidx_r[1] * erows + t // ekcols, t % ekcols)
 
-        in_specs += [
-            pl.BlockSpec((berm, berk), _esrc, memory_space=pltpu.VMEM),
-            pl.BlockSpec((berm, berk), _esrc, memory_space=pltpu.VMEM),
-            pl.BlockSpec((berm, 1),
-                         lambda l, j, pidx_r, *refs:
-                         (pidx_r[1] * erows + e_tidx(l, j) // ekcols, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        in_specs += (
+            [pl.BlockSpec((berm, berk), _esrc, memory_space=pltpu.VMEM)]
+            * n_src
+            + [pl.BlockSpec((berm, 1),
+                            lambda l, j, pidx_r, *refs:
+                            (pidx_r[1] * erows + e_tidx(l, j) // ekcols, 0),
+                            memory_space=pltpu.VMEM)]
+        )
         out_specs += [
             pl.BlockSpec((num_moduli, berm, berk),
                          lambda l, j, *refs: (0, e_tidx(l, j) // ekcols,
@@ -329,21 +372,22 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
         ]
         out_shapes += [jax.ShapeDtypeStruct((num_moduli, panel_m, k),
                                             jnp.int8)]
-        operands += [a_src.hi, a_src.lo, sft_a]
+        operands += [*_src_arrays(a_src, kind), sft_a]
 
     aliases = {}
     if acc_chain:
-        # alias-chain the full-size hi/lo through this call; the input
-        # prefetch blocks are pinned to the last panel's region, which no
-        # rider call writes (only the caller's final bare reconstruct)
+        # alias-chain the full-size reconstruct buffers through this call;
+        # the input prefetch blocks are pinned to the last panel's region,
+        # which no rider call writes (only the caller's final bare
+        # reconstruct)
         last_blk = (m_total - panel_m) // 8
         acc_in_spec = pl.BlockSpec((8, 128),
                                    lambda l, j, *refs: (last_blk, 0),
                                    memory_space=pltpu.VMEM)
-        hi_idx = 3 + len(operands)
-        in_specs += [acc_in_spec, acc_in_spec]
-        operands += [acc[0], acc[1]]
-        aliases = {hi_idx: 1, hi_idx + 1: 2}
+        first_idx = 3 + len(operands)
+        in_specs += [acc_in_spec] * n_rec
+        operands += list(acc)
+        aliases = {first_idx + i: 1 + i for i in range(n_rec)}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -367,12 +411,12 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
     )(pidx, mods, recips, *operands)
     out = list(out) if isinstance(out, (tuple, list)) else [out]
     res = out.pop(0)
-    hi = lo = a8n = None
+    rec_leaves = a8n = None
     if rec_rider:
-        hi, lo = out.pop(0), out.pop(0)
+        rec_leaves = tuple(out.pop(0) for _ in range(n_rec))
     if enc_rider:
         a8n = out.pop(0)
-    return res, hi, lo, a8n
+    return res, rec_leaves, a8n
 
 
 def bsplit_applicable(m: int, n: int, k: int, num_moduli: int,
@@ -389,9 +433,9 @@ def bsplit_applicable(m: int, n: int, k: int, num_moduli: int,
     return _rider_tiles(k, n // 2, num_moduli * (nt // 2)) is not None
 
 
-def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
+def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
                        num_moduli: int, panel_m: int, bn: int, *,
-                       a_src: F64Bits | None = None):
+                       a_src=None, kind: str = "f64"):
     """Panel-0 matmul as two column-half calls that finish B's encode:
 
       call 0a: int8 matmul of A-panel-0 against the LEFT column half of
@@ -424,8 +468,14 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
     coff = (n // 2) // bern  # right-half offset in bern units
     b_tidx, b_active = _sched(ntL, (k // berk) * bcols, 0, 1)
 
-    def kern_a(mods_ref, recips_ref, a_ref, b_ref, bhi_ref, blo_ref,
-               sbe_ref, o_ref, b8o_ref):
+    n_src = 2 if kind == "f64" else 1
+
+    def kern_a(*refs):
+        it = iter(refs)
+        mods_ref, recips_ref, a_ref, b_ref = (next(it), next(it),
+                                              next(it), next(it))
+        bsrc_refs = [next(it) for _ in range(n_src)]
+        sbe_ref, o_ref, b8o_ref = next(it), next(it), next(it)
         l = pl.program_id(0)
         j = pl.program_id(1)
         x = jax.lax.dot_general(a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
@@ -435,8 +485,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
 
         @pl.when(b_active(l, j))
         def _():
-            b8o_ref[:] = _encode_f64_tile(bhi_ref, blo_ref, sbe_ref,
-                                          num_moduli)
+            b8o_ref[:] = _encode_tile(bsrc_refs, sbe_ref, num_moduli, kind)
 
     def _bsrc(l, j):
         t = b_tidx(l, j)
@@ -452,10 +501,8 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, bn), lambda l, j: (l, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((berk, bern), lambda l, j: _bsrc(l, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((berk, bern), lambda l, j: _bsrc(l, j),
-                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((berk, bern), lambda l, j: _bsrc(l, j),
+                          memory_space=pltpu.VMEM)] * n_src + [
             pl.BlockSpec((1, bern),
                          lambda l, j: (0, b_tidx(l, j) % bcols + coff),
                          memory_space=pltpu.VMEM),
@@ -478,7 +525,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
             bytes_accessed=L * (panel_m * k + k * n // 2 + panel_m * n // 2),
             transcendentals=0),
         interpret=_interpret(),
-    )(mods, recips, a8_p0, b8_left, b_src.hi, b_src.lo, sft_b)
+    )(mods, recips, a8_p0, b8_left, *_src_arrays(b_src, kind), sft_b)
 
     # ---- call 0b: matmul right (+ optional A-panel-1 encode rider) ----
     enc_rider = a_src is not None
@@ -494,7 +541,8 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
         mods_ref, recips_ref = next(it), next(it)
         a_ref, b_ref, r_in = next(it), next(it), next(it)
         if enc_rider:
-            ahi_ref, alo_ref, sae_ref = next(it), next(it), next(it)
+            src_refs = [next(it) for _ in range(n_src)]
+            sae_ref = next(it)
         o_ref = next(it)
         if enc_rider:
             a8n_ref = next(it)
@@ -508,8 +556,8 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
         if enc_rider:
             @pl.when(e_active(l, j))
             def _():
-                a8n_ref[:] = _encode_f64_tile(ahi_ref, alo_ref,
-                                               sae_ref, num_moduli)
+                a8n_ref[:] = _encode_tile(src_refs, sae_ref, num_moduli,
+                                          kind)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -533,14 +581,12 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
             t = e_tidx(l, j)
             return (erows + t // ekcols, t % ekcols)
 
-        in_specs += [
-            pl.BlockSpec((berm, aberk), lambda l, j: _esrc(l, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((berm, aberk), lambda l, j: _esrc(l, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((berm, 1), lambda l, j: (_esrc(l, j)[0], 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        in_specs += (
+            [pl.BlockSpec((berm, aberk), lambda l, j: _esrc(l, j),
+                          memory_space=pltpu.VMEM)] * n_src
+            + [pl.BlockSpec((berm, 1), lambda l, j: (_esrc(l, j)[0], 0),
+                            memory_space=pltpu.VMEM)]
+        )
         out_specs += [
             pl.BlockSpec((num_moduli, berm, aberk),
                          lambda l, j: (0, e_tidx(l, j) // ekcols,
@@ -549,7 +595,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
         ]
         out_shapes += [jax.ShapeDtypeStruct((num_moduli, panel_m, k),
                                             jnp.int8)]
-        operands += [a_src.hi, a_src.lo, sft_a]
+        operands += [*_src_arrays(a_src, kind), sft_a]
 
     out = pl.pallas_call(
         kern_b,
@@ -576,12 +622,13 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src: F64Bits, sft_a, sft_b,
 
 def _reconstruct_into(r8, sft_a, sft_b, num_moduli: int, hi_acc, lo_acc,
                       last_panel: int, panel_m: int,
-                      block=None) -> F64Bits:
+                      block=None, kind: str = "f64"):
     """CRT reconstruct of the LAST panel's residues written directly into
-    the alias-chained full-size hi/lo buffers (same _rec_body as
+    the alias-chained full-size output buffers (same _rec_body as
     reconstruct_pallas; saves the final panel concatenate). The aliased
     inputs' prefetch blocks are pinned to panel-0's region, which this
-    call never writes."""
+    call never writes. hi_acc/lo_acc: the alias-chained buffers (lo_acc
+    is None for f32)."""
     L, pm, n = r8.shape
     m_total = sft_a.shape[0]
     if block is None:
@@ -591,19 +638,22 @@ def _reconstruct_into(r8, sft_a, sft_b, num_moduli: int, hi_acc, lo_acc,
     sa_last = jax.lax.dynamic_slice_in_dim(sft_a, last_panel * panel_m,
                                            panel_m, axis=0)
     roff = last_panel * (panel_m // bm)
+    n_rec, rec_dtype = _rec_out(kind)
+    acc_leaves = (hi_acc, lo_acc)[:n_rec]
 
-    def kern(c_ref, sa_ref, sb_ref, hi_in, lo_in, hi_ref, lo_ref):
-        del hi_in, lo_in  # aliased inputs: never read
-        hi, lo = _rec_body(c_ref[:], sa_ref[:], sb_ref[:], num_moduli,
-                           "f64")
-        hi_ref[:] = hi
-        lo_ref[:] = lo
+    def kern(*refs):
+        c_ref, sa_ref, sb_ref = refs[0], refs[1], refs[2]
+        # refs[3 : 3+n_rec] are the aliased inputs: never read
+        out_refs = refs[3 + n_rec:]
+        outs = _rec_body(c_ref[:], sa_ref[:], sb_ref[:], num_moduli, kind)
+        for ref, val in zip(out_refs, outs):
+            ref[:] = val
 
     tile_out = pl.BlockSpec((bm, bn), lambda i, j: (roff + i, j),
                             memory_space=pltpu.VMEM)
     tiny = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                         memory_space=pltpu.VMEM)
-    hi, lo = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(pm // bm, n // bn),
         in_specs=[
@@ -613,28 +663,41 @@ def _reconstruct_into(r8, sft_a, sft_b, num_moduli: int, hi_acc, lo_acc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            tiny, tiny,
-        ],
-        out_specs=(tile_out, tile_out),
-        out_shape=(jax.ShapeDtypeStruct((m_total, n), jnp.uint32),
-                   jax.ShapeDtypeStruct((m_total, n), jnp.uint32)),
-        input_output_aliases={3: 0, 4: 1},
+        ] + [tiny] * n_rec,
+        out_specs=(tile_out,) * n_rec,
+        out_shape=tuple(jax.ShapeDtypeStruct((m_total, n), rec_dtype)
+                        for _ in range(n_rec)),
+        input_output_aliases={3 + i: i for i in range(n_rec)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(r8, sa_last, sft_b, hi_acc, lo_acc)
-    return F64Bits(hi, lo)
+    )(r8, sa_last, sft_b, *acc_leaves)
+    if kind == "f64":
+        return F64Bits(out[0], out[1])
+    return out if not isinstance(out, (tuple, list)) else out[0]
 
 
-def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
-                            panel_m: int = 1024, bn: int = 512,
-                            sfts=None, encode_rider: bool = False,
-                            a8=None, b_rider: bool = False,
-                            acc_out: bool = True) -> F64Bits:
-    """Fast-mode f64 GEMM emulation with the panel/rider pipeline.
-    Bit-identical to gemm_core's one-shot pallas path (same stats, encode,
-    Barrett, and reconstruct bodies); only the schedule differs.
-    sfts: optional precomputed (sft_a, sft_b) from the caller's stats pass.
+def _slice_rows(x, start: int, size: int, kind: str):
+    if kind == "f64":
+        return F64Bits(jax.lax.slice_in_dim(x.hi, start, start + size,
+                                            axis=0),
+                       jax.lax.slice_in_dim(x.lo, start, start + size,
+                                            axis=0))
+    return jax.lax.slice_in_dim(x, start, start + size, axis=0)
+
+
+def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
+                   panel_m: int = 1024, bn: int = 512,
+                   sfts=None, encode_rider: bool = False,
+                   a8=None, b_rider: bool = False,
+                   acc_out: bool = True):
+    """GEMM emulation with the panel/rider pipeline. Bit-identical to
+    gemm_core's one-shot pallas path (same stats, encode, Barrett, and
+    reconstruct bodies); only the schedule differs.
+    kind: "f64" (F64Bits operands in and out) or "f32" (f32 arrays in and
+    out — the SGEMM path; riders read the uint32 bitcast of the source).
+    sfts: optional precomputed (sft_a, sft_b) from the caller's stats pass
+    (fast OR accurate mode — the schedule is shift-agnostic).
     encode_rider: additionally pipeline A's per-panel encode into the
     previous panel's matmul (only panel 0 is encoded up front).
     a8: optional pre-encoded (L, m, k) slices of A — used by the
@@ -644,7 +707,7 @@ def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
     half is encoded up front and the right half rides the left-half
     matmul (requires encode_rider; matmul_bsplit_pair).
     acc_out: alias-chain the rider reconstructs into one full-size (m, n)
-    hi/lo pair instead of concatenating per-panel pieces at the end."""
+    output instead of concatenating per-panel pieces at the end."""
     m, k = a.shape
     n = b.shape[1]
     P = m // panel_m
@@ -656,55 +719,83 @@ def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
     else:
         sft_a = fast_sft_pallas(a, num_moduli, axis=1)
         sft_b = fast_sft_pallas(b, num_moduli, axis=0)
+    # the riders' encode source: f64 rides the hi/lo pair, f32 rides ONE
+    # uint32 bitcast (computed once here, not per rider call)
+    a_rider_src = a if kind == "f64" else None
+    if kind == "f32" and (encode_rider or b_rider):
+        a_rider_src = _src_arrays(a, "f32")[0]
     if b_rider:
         b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0,
                                   col_tiles=(0, (n // 2) // 512))
+        b_src = b if kind == "f64" else _src_arrays(b, "f32")[0]
     else:
         b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0)
     if a8 is not None:
         assert not encode_rider
         a8_p = a8
     elif encode_rider:
-        a0 = F64Bits(jax.lax.slice_in_dim(a.hi, 0, panel_m, axis=0),
-                     jax.lax.slice_in_dim(a.lo, 0, panel_m, axis=0))
+        a0 = _slice_rows(a, 0, panel_m, kind)
         a8_p = encode_slices_pallas(a0, sft_a[:panel_m], num_moduli, axis=1)
     else:
         a8_p = encode_slices_pallas(a, sft_a, num_moduli, axis=1)
-    his, los = [], []
-    hi_acc = lo_acc = None
+    n_rec, _ = _rec_out(kind)
+    pieces = []      # per-panel reconstruct leaf tuples (acc_out=False)
+    acc_leaves = None
     if b_rider:
         r_prev, b8, a8_p = matmul_bsplit_pair(
-            a8_p, b8, b, sft_a, sft_b, num_moduli, panel_m, bn,
-            a_src=a if P > 1 else None)
+            a8_p, b8, _RawSrc(b_src) if kind == "f32" else b,
+            sft_a, sft_b, num_moduli, panel_m, bn,
+            a_src=(_RawSrc(a_rider_src) if kind == "f32" else a)
+            if P > 1 else None, kind=kind)
         p_start = 1
     else:
         r_prev = None
         p_start = 0
     for p in range(p_start, P):
-        src = a if (encode_rider and p < P - 1) else None
+        if encode_rider and p < P - 1:
+            src = _RawSrc(a_rider_src) if kind == "f32" else a
+        else:
+            src = None
         if acc_out and r_prev is not None:
-            acc = (hi_acc, lo_acc) if hi_acc is not None else "fresh"
+            acc = acc_leaves if acc_leaves is not None else "fresh"
         else:
             acc = None
-        r_p, hi_prev, lo_prev, a8_next = matmul_rider_step(
+        r_p, rec_leaves, a8_next = matmul_rider_step(
             a8_p, b8, p, r_prev, p - 1, sft_a, sft_b, num_moduli,
             panel_m=panel_m, bn=bn, a_src=src, next_panel=p + 1,
-            acc=acc)
+            acc=acc, kind=kind)
         if acc is not None:
-            hi_acc, lo_acc = hi_prev, lo_prev
-        elif hi_prev is not None:
-            his.append(hi_prev)
-            los.append(lo_prev)
+            acc_leaves = rec_leaves
+        elif rec_leaves is not None:
+            pieces.append(rec_leaves)
         r_prev = r_p
         if a8_next is not None:
             a8_p = a8_next
     if acc_out:
+        hi_acc = acc_leaves[0]
+        lo_acc = acc_leaves[1] if n_rec == 2 else None
         return _reconstruct_into(r_prev, sft_a, sft_b, num_moduli,
-                                 hi_acc, lo_acc, P - 1, panel_m)
+                                 hi_acc, lo_acc, P - 1, panel_m, kind=kind)
     sa_last = jax.lax.dynamic_slice_in_dim(sft_a, (P - 1) * panel_m,
                                            panel_m, axis=0)
-    last = reconstruct_pallas(r_prev, sa_last, sft_b, num_moduli, "f64")
-    his.append(last.hi)
-    los.append(last.lo)
-    return F64Bits(jnp.concatenate(his, axis=0),
-                   jnp.concatenate(los, axis=0))
+    last = reconstruct_pallas(r_prev, sa_last, sft_b, num_moduli, kind)
+    if kind == "f64":
+        pieces.append((last.hi, last.lo))
+        return F64Bits(jnp.concatenate([t[0] for t in pieces], axis=0),
+                       jnp.concatenate([t[1] for t in pieces], axis=0))
+    pieces.append((last,))
+    return jnp.concatenate([t[0] for t in pieces], axis=0)
+
+
+class _RawSrc:
+    """Adapter marking an operand already in rider-source form (the f32
+    path's uint32 bitcast): _src_arrays must pass it through unchanged."""
+
+    def __init__(self, bits):
+        self.bits = bits
+
+
+def gemm_fast_pipelined_f64(a: F64Bits, b: F64Bits, num_moduli: int,
+                            **kw) -> F64Bits:
+    """f64 entry point (historical name; see gemm_pipelined)."""
+    return gemm_pipelined(a, b, num_moduli, kind="f64", **kw)

@@ -12,6 +12,7 @@ Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
   n     matrix size (default 512)
   mode  GEMMUL8_PIPELINE values 0-3, or: "accu" (accurate-mode mag7
         path), "accu3" (accurate mode riding the mode-3 pipeline),
+        "f32p3" (pure-f32 SGEMM path riding the mode-3 pipeline),
         "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE / FUSED_RECONSTRUCT /
         MM_PIPELINE env-gated branches).
         Default: 0 3
@@ -34,8 +35,9 @@ _ENV_GATES = {"fe": "GEMMUL8_FUSED_ENCODE", "fr": "GEMMUL8_FUSED_RECONSTRUCT",
 
 def check(n: int, mode: str) -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["GEMMUL8_PIPELINE"] = (mode if mode.isdigit()
-                                      else "3" if mode == "accu3" else "0")
+    os.environ["GEMMUL8_PIPELINE"] = (
+        mode if mode.isdigit()
+        else "3" if mode in ("accu3", "f32p3") else "0")
     if mode in _ENV_GATES:
         os.environ[_ENV_GATES[mode]] = "1"
     # jax.export's jaxpr traversal recurses deeply on the unrolled
@@ -62,19 +64,25 @@ def check(n: int, mode: str) -> int:
     from gemmul8_tpu.core import gemm as gg
     from gemmul8_tpu.types import F64Bits
 
-    if mode in ("3", "accu3"):
+    if mode in ("3", "accu3", "f32p3"):
         assert P.choose_panels(n, n, n, 14, encode_rider=True) is not None, \
             f"panel schedule must apply at n={n}"
 
     # "accu"/"accu3": accurate-mode (mag7 Pallas) path
     fastmode = mode not in ("accu", "accu3")
 
-    def fwd(ahi, alo, bhi, blo):
-        out = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, blo), 14,
-                           fastmode, "f64", use_pallas=True)
-        return out.hi, out.lo
+    if mode == "f32p3":
+        def fwd(a, b):
+            return gg.gemm_core(a, b, 14, True, "f32", use_pallas=True)
 
-    args = [jax.ShapeDtypeStruct((n, n), jnp.uint32)] * 4
+        args = [jax.ShapeDtypeStruct((n, n), jnp.float32)] * 2
+    else:
+        def fwd(ahi, alo, bhi, blo):
+            out = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, blo), 14,
+                               fastmode, "f64", use_pallas=True)
+            return out.hi, out.lo
+
+        args = [jax.ShapeDtypeStruct((n, n), jnp.uint32)] * 4
     t0 = time.time()
     exp = jax.export.export(jax.jit(fwd), platforms=["tpu"])(*args)
     nbytes = len(exp.mlir_module_serialized)

@@ -107,6 +107,33 @@ def test_bsplit_via_gemm_core(monkeypatch):
     assert bool(jnp.all(ref.lo == got.lo))
 
 
+@pytest.mark.parametrize("enc_rider,acc_out,b_rider", [
+    (False, False, False), (True, True, False), (True, True, True),
+])
+def test_f32_pipelined_bit_exact(enc_rider, acc_out, b_rider):
+    # the pure-f32 (SGEMM) path rides the same schedule: f32 encode /
+    # reconstruct bodies, one f32 output buffer per rider
+    m, k, n = 512, 1024, 1024
+    a = jnp.asarray(_phi(m, k, 1.2, seed=31), jnp.float32)
+    b = jnp.asarray(_phi(k, n, 1.2, seed=32), jnp.float32)
+    ref = gg.gemm_core(a, b, 9, True, "f32", use_pallas=True)
+    got = pp.gemm_pipelined(a, b, 9, kind="f32", panel_m=256, bn=256,
+                            encode_rider=enc_rider, acc_out=acc_out,
+                            b_rider=b_rider)
+    assert got.dtype == jnp.float32
+    assert bool(jnp.all(ref == got))
+
+
+def test_f32_pipelined_via_gemm_core(monkeypatch):
+    m, k, n = 512, 768, 512
+    a = jnp.asarray(_phi(m, k, 1.0, seed=33), jnp.float32)
+    b = jnp.asarray(_phi(k, n, 1.0, seed=34), jnp.float32)
+    ref = gg.gemm_core(a, b, 8, True, "f32", use_pallas=True)
+    monkeypatch.setenv("GEMMUL8_PIPELINE", "2")
+    got = gg.gemm_core(a, b, 8, True, "f32", use_pallas=True)
+    assert bool(jnp.all(ref == got))
+
+
 @pytest.mark.parametrize("pipe", ["1", "3"])
 def test_accurate_mode_pipelined(monkeypatch, pipe):
     # accurate mode shares the schedule: shifts come from the mag7 +
