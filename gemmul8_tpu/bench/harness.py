@@ -217,7 +217,13 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
                include_osi=(8, 9), write_csv: bool = True):
     """Throughput sweep with the reference's 4-phase breakdown. Emits rows
     for OS2-{fast,accu}-L, the raw INT8-GEMM probe, the native matmul at
-    highest available precision, and the OS-I (ozIMMU-style) baseline."""
+    highest available precision, and the OS-I (ozIMMU-style) baseline.
+
+    dtype 'd' / 'f' / 'md' (FP64 x FP32 -> FP64, the reference's
+    test_mixed_double time protocol) / 'mf' (FP64 x FP32 -> FP32,
+    test_mixed_float) — the mixed modes time the mixed-operand emulated
+    call plus the native and INT8 baselines (no OS-I / BF16X3 rows, which
+    are dtype-specific baselines)."""
     import jax
     import jax.numpy as jnp
 
@@ -228,13 +234,16 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
     from .matrices import phi_matrix
     from .timing import chained_time
 
+    assert dtype in ("d", "f", "md", "mf")
+    out_np = np.float32 if dtype in ("f", "mf") else np.float64
     rows = []
     for n in sizes:
         a = phi_matrix(n, n, phi, seed)
         b = phi_matrix(n, n, phi, seed + 1)
         if dtype == "f":
             a = a.astype(np.float32)
-            b = b.astype(np.float32)
+        if dtype in ("f", "md", "mf"):
+            b = b.astype(np.float32)   # md/mf: FP64 x FP32 operands
         flops = 2.0 * n ** 3
 
         # native matmul (highest precision the backend offers), timed with
@@ -257,11 +266,15 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
         # honest label: on a backend without f64 compute (TPU), the
         # "native" row is an f32-HIGHEST matmul, NOT DGEMM — name it so
         # nobody compares it against the reference's DGEMM rows
-        if dtype == "d":
+        if dtype == "f":
+            native_label = "SGEMM"
+        else:
             native_label = ("DGEMM" if jnp.asarray(a).dtype == jnp.float64
                             else "F32-HIGHEST-GEMM")
-        else:
-            native_label = "SGEMM"
+            if dtype in ("md", "mf"):
+                # mixed operands: the matmul runs at a's (promoted)
+                # precision over the f32 b — label the operand mix
+                native_label = "MIXED-" + native_label
         rows.append(dict(phi=phi, m=n, n=n, k=n,
                          func=native_label,
                          seconds=tnat, tflops=flops / tnat / 1e12,
@@ -289,8 +302,9 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
                 # decomposition materializes phase boundaries to HBM that
                 # the fused graph never pays, so its sum overstates)
                 _, times = gemm_timed(a, b, num_moduli=L, fastmode=fast,
-                                      iters=iters)
-                tot = _fused_gemm_seconds(a, b, L, fast, iters)
+                                      out_dtype=out_np, iters=iters)
+                tot = _fused_gemm_seconds(a, b, L, fast, iters,
+                                          out_dtype=out_np)
                 rows.append(dict(phi=phi, m=n, n=n, k=n, func=f"{tag}-{L}",
                                  seconds=tot, tflops=flops / tot / 1e12,
                                  t_scale=times[0], t_int8gemm=times[1],
@@ -358,7 +372,7 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
 
 
 def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
-                        iters: int) -> float:
+                        iters: int, out_dtype=None) -> float:
     """Chained-enqueue wall time of the fused production gemm call
     (bench.py's protocol, generalized over operand domains)."""
     import jax
@@ -370,7 +384,7 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
     from .timing import chained_time
 
     ca, cb_ = _api._canon_real(a), _api._canon_real(b)
-    kind = _api._out_kind(ca, cb_, None)
+    kind = _api._out_kind(ca, cb_, out_dtype)
     b_is_bits = isinstance(cb_, F64Bits)
 
     # bench.py's structure: only the perturbed low word is donated and

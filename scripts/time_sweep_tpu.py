@@ -3,9 +3,10 @@
 (ozIMMU_EF-style) baseline at 8192^3 via the diagonal-group graph, the
 raw INT8-GEMM probe, and the honestly-labeled native row. The `f` mode
 adds the SGEMM-emulation sweep (reference moduli highlights 6/8 fast+accu
-plus the BF16X3-SCALING cuMpSGEMM-analog row).
+plus the BF16X3-SCALING cuMpSGEMM-analog row); `md`/`mf` add the
+mixed-dtype time protocols (test_mixed_double/test_mixed_float).
 
-    python scripts/time_sweep_tpu.py [sizes] [d|f|all]
+    python scripts/time_sweep_tpu.py [sizes] [d|f|md|mf|all]
 """
 
 import os
@@ -46,6 +47,17 @@ def main():
             print({k: r[k] for k in ("m", "func", "seconds", "tflops")},
                   flush=True)
         print(f"-> {path}")
+
+    for mx in ("md", "mf"):
+        if which in (mx, "all"):
+            rows, path = time_check(
+                dtype=mx, sizes=sizes, num_moduli=(14,),
+                fastmodes=(True, False), phi=0.5, iters=10,
+                outdir="results_committed")
+            for r in rows:
+                print({k: r[k] for k in ("m", "func", "seconds", "tflops")},
+                      flush=True)
+            print(f"-> {path}")
 
 
 if __name__ == "__main__":

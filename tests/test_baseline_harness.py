@@ -138,3 +138,26 @@ def test_time_check_complex_rows(tmp_path):
                                     outdir=str(tmp_path))
     assert rows and rows[0]["func"] == "OS2C-kara-fast-6"
     assert rows[0]["seconds"] > 0
+
+
+def test_time_check_mixed_and_f_rows(tmp_path):
+    """time_check parity for the mixed protocols (test_mixed_double /
+    test_mixed_float run time sweeps too) and the f-sweep's BF16X3
+    (cuMpSGEMM FP16TCEC_SCALING analog) row."""
+    from gemmul8_tpu.bench.harness import time_check
+
+    rows, _ = time_check(dtype="md", sizes=(128,), num_moduli=(4,),
+                         fastmodes=(True,), iters=2, write_csv=False)
+    funcs = [r["func"] for r in rows]
+    assert "OS2-fast-4" in funcs and not any("OS1" in f for f in funcs)
+    assert any(f.startswith("MIXED-") for f in funcs)
+    assert all(r["seconds"] > 0 for r in rows)
+
+    rows, _ = time_check(dtype="mf", sizes=(128,), num_moduli=(4,),
+                         fastmodes=(False,), iters=2, write_csv=False)
+    assert "OS2-accu-4" in [r["func"] for r in rows]
+
+    rows, _ = time_check(dtype="f", sizes=(128,), num_moduli=(4,),
+                         fastmodes=(True,), iters=2, write_csv=False)
+    funcs = [r["func"] for r in rows]
+    assert "BF16X3-SCALING" in funcs and "SGEMM" in funcs
