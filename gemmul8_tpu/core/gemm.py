@@ -135,14 +135,7 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             cfg = pp.choose_panels(a.shape[0], b.shape[1], a.shape[1],
                                    num_moduli, encode_rider=pipe >= 2) \
                 if pipe else None
-            pipe_kind = None
-            if isinstance(a, F64Bits) and isinstance(b, F64Bits) \
-                    and out_dtype == "f64":
-                pipe_kind = "f64"
-            elif not isinstance(a, F64Bits) and not isinstance(b, F64Bits) \
-                    and out_dtype == "f32":
-                pipe_kind = "f32"
-            if cfg and sft_a is not None and pipe_kind:
+            if cfg and sft_a is not None and out_dtype in ("f64", "f32"):
                 # panel/rider pipeline: the CRT reconstruct of panel p-1
                 # (and, at level 2, the encode of A-panel p+1; at level 3
                 # also B's right-half encode in a split first panel) rides
@@ -151,12 +144,12 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                 # Accurate mode rides the same schedule: its shifts were
                 # already selected above (mag7 + magnitude-GEMM pre-phase
                 # runs bare), and encode/matmul/reconstruct are
-                # shift-agnostic downstream. The pure-f32 SGEMM path rides
-                # it too (f32 encode/reconstruct bodies, same kernels).
+                # shift-agnostic downstream. f32 output and mixed-dtype
+                # operands ride it too (per-operand rider encode bodies).
                 bsp = (pipe == 3 and pp.bsplit_applicable(
                     a.shape[0], b.shape[1], a.shape[1], num_moduli,
                     cfg[0], cfg[1]))
-                return pp.gemm_pipelined(a, b, num_moduli, kind=pipe_kind,
+                return pp.gemm_pipelined(a, b, num_moduli, kind=out_dtype,
                                          panel_m=cfg[0], bn=cfg[1],
                                          sfts=(sft_a, sft_b),
                                          encode_rider=pipe >= 2,
@@ -265,19 +258,13 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             cfg = pp.choose_panels(a.shape[0], bp.shape[1], a.shape[1],
                                    num_moduli) \
                 if pp.pipeline_mode() else None
-            if out_dtype == "f64" and isinstance(a, F64Bits):
-                pipe_kind = "f64"
-            elif out_dtype == "f32" and not isinstance(a, F64Bits):
-                pipe_kind = "f32"
-            else:
-                pipe_kind = None
-            if cfg and pipe_kind:
+            if cfg and out_dtype in ("f64", "f32"):
                 # per-column-panel m-pipeline: A encoded once and shared
                 # (re-encoded per panel in accurate mode, whose shifts
                 # depend on B); the reconstruct rider hides all but the
                 # last m-panel's CRT (bit-identical; pallas/pipelined.py)
                 outs.append(pp.gemm_pipelined(
-                    a, bp, num_moduli, kind=pipe_kind,
+                    a, bp, num_moduli, kind=out_dtype,
                     panel_m=cfg[0], bn=cfg[1],
                     sfts=(sft_a, sft_b), a8=a8))
                 continue

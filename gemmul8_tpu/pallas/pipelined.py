@@ -191,7 +191,8 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                       sft_a, sft_b, num_moduli: int,
                       panel_m: int = 1024, bn: int = 512, *,
                       a_src=None, next_panel: int = -1,
-                      acc=None, kind: str = "f64"):
+                      acc=None, a_kind: str = "f64",
+                      out_kind: str = "f64"):
     """One pipeline stage: int8 matmul (+Barrett uint8 epilogue) of one
     A panel against all of B, with up to two riders on the grid steps:
       - CRT reconstruct of panel `prev_panel` (skipped when r_prev is
@@ -199,10 +200,11 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
       - int8 encode of A-panel `next_panel` from the source `a_src`
         (skipped when a_src is None — the last panel, or rec-only mode).
 
-    kind: "f64" (operands F64Bits, output hi/lo uint32 pairs) or "f32"
-    (operands f32 arrays passed as uint32 bitcasts, output one f32
-    buffer per panel) — the rider bodies dispatch on it, everything
-    else (matmul, Barrett, schedules) is dtype-blind.
+    a_kind: the A rider source's kind — "f64" (F64Bits hi/lo pair) or
+    "f32" (one uint32 bitcast). out_kind: "f64" (hi/lo uint32 output
+    pairs) or "f32" (one f32 buffer per panel). The rider bodies
+    dispatch on these; everything else (matmul, Barrett, schedules) is
+    dtype-blind, so mixed-operand calls pipeline too.
 
     a8: (L, panel_m, k) int8 — this panel's slices — OR the full
     (L, m, k) array (rec-only mode; the panel is selected via a
@@ -256,8 +258,8 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                                   nphases - 1, nphases)
         erows = panel_m // berm
 
-    n_rec, rec_dtype = _rec_out(kind)
-    n_src = 2 if kind == "f64" else 1
+    n_rec, rec_dtype = _rec_out(out_kind)
+    n_src = 2 if a_kind == "f64" else 1
 
     def kern(*refs):
         it = iter(refs)
@@ -287,14 +289,14 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
             @pl.when(r_active(l, j))
             def _():
                 outs = _rec_body(r_ref[:], sa_ref[:], sb_ref[:],
-                                 num_moduli, kind)
+                                 num_moduli, out_kind)
                 for ref, val in zip(rec_refs, outs):
                     ref[:] = val
         if enc_rider:
             @pl.when(e_active(l, j))
             def _():
                 a8n_ref[:] = _encode_tile(src_refs, sae_ref, num_moduli,
-                                          kind)
+                                          a_kind)
 
     if a8_full:
         a_spec = pl.BlockSpec((1, panel_m, k),
@@ -372,7 +374,7 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
         ]
         out_shapes += [jax.ShapeDtypeStruct((num_moduli, panel_m, k),
                                             jnp.int8)]
-        operands += [*_src_arrays(a_src, kind), sft_a]
+        operands += [*_src_arrays(a_src, a_kind), sft_a]
 
     aliases = {}
     if acc_chain:
@@ -435,7 +437,8 @@ def bsplit_applicable(m: int, n: int, k: int, num_moduli: int,
 
 def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
                        num_moduli: int, panel_m: int, bn: int, *,
-                       a_src=None, kind: str = "f64"):
+                       a_src=None, a_kind: str = "f64",
+                       b_kind: str = "f64"):
     """Panel-0 matmul as two column-half calls that finish B's encode:
 
       call 0a: int8 matmul of A-panel-0 against the LEFT column half of
@@ -468,13 +471,13 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
     coff = (n // 2) // bern  # right-half offset in bern units
     b_tidx, b_active = _sched(ntL, (k // berk) * bcols, 0, 1)
 
-    n_src = 2 if kind == "f64" else 1
+    n_bsrc = 2 if b_kind == "f64" else 1
 
     def kern_a(*refs):
         it = iter(refs)
         mods_ref, recips_ref, a_ref, b_ref = (next(it), next(it),
                                               next(it), next(it))
-        bsrc_refs = [next(it) for _ in range(n_src)]
+        bsrc_refs = [next(it) for _ in range(n_bsrc)]
         sbe_ref, o_ref, b8o_ref = next(it), next(it), next(it)
         l = pl.program_id(0)
         j = pl.program_id(1)
@@ -485,7 +488,8 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
 
         @pl.when(b_active(l, j))
         def _():
-            b8o_ref[:] = _encode_tile(bsrc_refs, sbe_ref, num_moduli, kind)
+            b8o_ref[:] = _encode_tile(bsrc_refs, sbe_ref, num_moduli,
+                                      b_kind)
 
     def _bsrc(l, j):
         t = b_tidx(l, j)
@@ -502,7 +506,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
             pl.BlockSpec((1, k, bn), lambda l, j: (l, 0, j),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec((berk, bern), lambda l, j: _bsrc(l, j),
-                          memory_space=pltpu.VMEM)] * n_src + [
+                          memory_space=pltpu.VMEM)] * n_bsrc + [
             pl.BlockSpec((1, bern),
                          lambda l, j: (0, b_tidx(l, j) % bcols + coff),
                          memory_space=pltpu.VMEM),
@@ -525,7 +529,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
             bytes_accessed=L * (panel_m * k + k * n // 2 + panel_m * n // 2),
             transcendentals=0),
         interpret=_interpret(),
-    )(mods, recips, a8_p0, b8_left, *_src_arrays(b_src, kind), sft_b)
+    )(mods, recips, a8_p0, b8_left, *_src_arrays(b_src, b_kind), sft_b)
 
     # ---- call 0b: matmul right (+ optional A-panel-1 encode rider) ----
     enc_rider = a_src is not None
@@ -536,12 +540,14 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
                                   0, 1)
         erows = panel_m // berm
 
+    n_asrc = 2 if a_kind == "f64" else 1
+
     def kern_b(*refs):
         it = iter(refs)
         mods_ref, recips_ref = next(it), next(it)
         a_ref, b_ref, r_in = next(it), next(it), next(it)
         if enc_rider:
-            src_refs = [next(it) for _ in range(n_src)]
+            src_refs = [next(it) for _ in range(n_asrc)]
             sae_ref = next(it)
         o_ref = next(it)
         if enc_rider:
@@ -557,7 +563,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
             @pl.when(e_active(l, j))
             def _():
                 a8n_ref[:] = _encode_tile(src_refs, sae_ref, num_moduli,
-                                          kind)
+                                          a_kind)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -583,7 +589,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
 
         in_specs += (
             [pl.BlockSpec((berm, aberk), lambda l, j: _esrc(l, j),
-                          memory_space=pltpu.VMEM)] * n_src
+                          memory_space=pltpu.VMEM)] * n_asrc
             + [pl.BlockSpec((berm, 1), lambda l, j: (_esrc(l, j)[0], 0),
                             memory_space=pltpu.VMEM)]
         )
@@ -595,7 +601,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
         ]
         out_shapes += [jax.ShapeDtypeStruct((num_moduli, panel_m, k),
                                             jnp.int8)]
-        operands += [*_src_arrays(a_src, kind), sft_a]
+        operands += [*_src_arrays(a_src, a_kind), sft_a]
 
     out = pl.pallas_call(
         kern_b,
@@ -694,8 +700,10 @@ def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
     """GEMM emulation with the panel/rider pipeline. Bit-identical to
     gemm_core's one-shot pallas path (same stats, encode, Barrett, and
     reconstruct bodies); only the schedule differs.
-    kind: "f64" (F64Bits operands in and out) or "f32" (f32 arrays in and
-    out — the SGEMM path; riders read the uint32 bitcast of the source).
+    kind: the OUTPUT kind — "f64" (F64Bits out) or "f32" (f32 array out,
+    the SGEMM path). Each operand may independently be F64Bits or an f32
+    array (mixed-precision calls pipeline too); riders read f64 sources
+    as hi/lo pairs and f32 sources as one uint32 bitcast.
     sfts: optional precomputed (sft_a, sft_b) from the caller's stats pass
     (fast OR accurate mode — the schedule is shift-agnostic).
     encode_rider: additionally pipeline A's per-panel encode into the
@@ -711,6 +719,8 @@ def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
     m, k = a.shape
     n = b.shape[1]
     P = m // panel_m
+    a_kind = "f64" if isinstance(a, F64Bits) else "f32"
+    b_kind = "f64" if isinstance(b, F64Bits) else "f32"
     if b_rider:
         assert encode_rider and (n // 2) % 512 == 0 \
             and bsplit_applicable(m, n, k, num_moduli, panel_m, bn)
@@ -721,20 +731,20 @@ def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
         sft_b = fast_sft_pallas(b, num_moduli, axis=0)
     # the riders' encode source: f64 rides the hi/lo pair, f32 rides ONE
     # uint32 bitcast (computed once here, not per rider call)
-    a_rider_src = a if kind == "f64" else None
-    if kind == "f32" and (encode_rider or b_rider):
-        a_rider_src = _src_arrays(a, "f32")[0]
+    a_rider_src = a
+    if a_kind == "f32" and (encode_rider or b_rider):
+        a_rider_src = _RawSrc(_src_arrays(a, "f32")[0])
     if b_rider:
         b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0,
                                   col_tiles=(0, (n // 2) // 512))
-        b_src = b if kind == "f64" else _src_arrays(b, "f32")[0]
+        b_src = b if b_kind == "f64" else _RawSrc(_src_arrays(b, "f32")[0])
     else:
         b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0)
     if a8 is not None:
         assert not encode_rider
         a8_p = a8
     elif encode_rider:
-        a0 = _slice_rows(a, 0, panel_m, kind)
+        a0 = _slice_rows(a, 0, panel_m, a_kind)
         a8_p = encode_slices_pallas(a0, sft_a[:panel_m], num_moduli, axis=1)
     else:
         a8_p = encode_slices_pallas(a, sft_a, num_moduli, axis=1)
@@ -743,19 +753,15 @@ def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
     acc_leaves = None
     if b_rider:
         r_prev, b8, a8_p = matmul_bsplit_pair(
-            a8_p, b8, _RawSrc(b_src) if kind == "f32" else b,
-            sft_a, sft_b, num_moduli, panel_m, bn,
-            a_src=(_RawSrc(a_rider_src) if kind == "f32" else a)
-            if P > 1 else None, kind=kind)
+            a8_p, b8, b_src, sft_a, sft_b, num_moduli, panel_m, bn,
+            a_src=a_rider_src if P > 1 else None,
+            a_kind=a_kind, b_kind=b_kind)
         p_start = 1
     else:
         r_prev = None
         p_start = 0
     for p in range(p_start, P):
-        if encode_rider and p < P - 1:
-            src = _RawSrc(a_rider_src) if kind == "f32" else a
-        else:
-            src = None
+        src = a_rider_src if (encode_rider and p < P - 1) else None
         if acc_out and r_prev is not None:
             acc = acc_leaves if acc_leaves is not None else "fresh"
         else:
@@ -763,7 +769,7 @@ def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
         r_p, rec_leaves, a8_next = matmul_rider_step(
             a8_p, b8, p, r_prev, p - 1, sft_a, sft_b, num_moduli,
             panel_m=panel_m, bn=bn, a_src=src, next_panel=p + 1,
-            acc=acc, kind=kind)
+            acc=acc, a_kind=a_kind, out_kind=kind)
         if acc is not None:
             acc_leaves = rec_leaves
         elif rec_leaves is not None:

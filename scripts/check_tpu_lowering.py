@@ -13,6 +13,7 @@ Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
   mode  GEMMUL8_PIPELINE values 0-3, or: "accu" (accurate-mode mag7
         path), "accu3" (accurate mode riding the mode-3 pipeline),
         "f32p3" (pure-f32 SGEMM path riding the mode-3 pipeline),
+        "mdp3" (mixed FP64 x FP32 -> FP64 riding the mode-3 pipeline),
         "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE / FUSED_RECONSTRUCT /
         MM_PIPELINE env-gated branches).
         Default: 0 3
@@ -37,7 +38,7 @@ def check(n: int, mode: str) -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["GEMMUL8_PIPELINE"] = (
         mode if mode.isdigit()
-        else "3" if mode in ("accu3", "f32p3") else "0")
+        else "3" if mode in ("accu3", "f32p3", "mdp3") else "0")
     if mode in _ENV_GATES:
         os.environ[_ENV_GATES[mode]] = "1"
     # jax.export's jaxpr traversal recurses deeply on the unrolled
@@ -64,7 +65,7 @@ def check(n: int, mode: str) -> int:
     from gemmul8_tpu.core import gemm as gg
     from gemmul8_tpu.types import F64Bits
 
-    if mode in ("3", "accu3", "f32p3"):
+    if mode in ("3", "accu3", "f32p3", "mdp3"):
         assert P.choose_panels(n, n, n, 14, encode_rider=True) is not None, \
             f"panel schedule must apply at n={n}"
 
@@ -76,6 +77,14 @@ def check(n: int, mode: str) -> int:
             return gg.gemm_core(a, b, 14, True, "f32", use_pallas=True)
 
         args = [jax.ShapeDtypeStruct((n, n), jnp.float32)] * 2
+    elif mode == "mdp3":
+        def fwd(ahi, alo, b):
+            out = gg.gemm_core(F64Bits(ahi, alo), b, 14, True, "f64",
+                               use_pallas=True)
+            return out.hi, out.lo
+
+        args = [jax.ShapeDtypeStruct((n, n), jnp.uint32)] * 2 + \
+            [jax.ShapeDtypeStruct((n, n), jnp.float32)]
     else:
         def fwd(ahi, alo, bhi, blo):
             out = gg.gemm_core(F64Bits(ahi, alo), F64Bits(bhi, blo), 14,

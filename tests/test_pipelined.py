@@ -124,6 +124,23 @@ def test_f32_pipelined_bit_exact(enc_rider, acc_out, b_rider):
     assert bool(jnp.all(ref == got))
 
 
+@pytest.mark.parametrize("out_kind", ["f64", "f32"])
+def test_mixed_dtype_pipelined(monkeypatch, out_kind):
+    # mixed-operand calls (FP64 x FP32, the md/mf protocols) ride the
+    # pipeline too: per-operand rider encode bodies, out-kind reconstruct
+    m, k, n = 512, 1024, 1024
+    a = f64_to_bits(_phi(m, k, 1.2, seed=41))
+    b = jnp.asarray(_phi(k, n, 1.2, seed=42), jnp.float32)
+    ref = gg.gemm_core(a, b, 9, True, out_kind, use_pallas=True)
+    monkeypatch.setenv("GEMMUL8_PIPELINE", "3")
+    got = gg.gemm_core(a, b, 9, True, out_kind, use_pallas=True)
+    if out_kind == "f64":
+        assert bool(jnp.all(ref.hi == got.hi))
+        assert bool(jnp.all(ref.lo == got.lo))
+    else:
+        assert bool(jnp.all(ref == got))
+
+
 def test_f32_pipelined_via_gemm_core(monkeypatch):
     m, k, n = 512, 768, 512
     a = jnp.asarray(_phi(m, k, 1.0, seed=33), jnp.float32)

@@ -20,7 +20,8 @@ _SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir,
 
 @pytest.mark.parametrize("n,mode", [(512, "0"), (512, "3"), (1024, "3"),
                                     (512, "accu"), (512, "accu3"),
-                                    (512, "f32p3"), (512, "fe"),
+                                    (512, "f32p3"), (512, "mdp3"),
+                                    (512, "fe"),
                                     (512, "fr"), (512, "mp")])
 def test_gemm_lowers_for_tpu(n, mode):
     r = subprocess.run([sys.executable, _SCRIPT, str(n), mode],
