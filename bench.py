@@ -7,10 +7,12 @@ chips (GH200 int8 probe 1575 TOPS vs TPU v5e 394.5 TOPS): an equal-quality
 implementation on this chip would score 72.13 * 394.5/1575 = 18.07 TFLOPS.
 Prints one JSON line.
 
-Schedule selection: the panel/rider pipeline (GEMMUL8_PIPELINE=3) and the
-monolithic fused path are both compiled, accuracy-gated against the dd
-oracle, speed-probed with a short chained run, and the faster one is
-measured. Override the candidate list with GEMMUL8_BENCH_MODES="3,1,0".
+Schedule selection: the panel/rider pipeline (GEMMUL8_PIPELINE modes 3
+and 1) and the monolithic fused path are compiled, accuracy-gated
+against the dd oracle, speed-probed with a short chained run, and the
+fastest is measured. Mode 1 (reconstruct rider only, no aliased encode
+writes) is the low-risk middle candidate if mode 3's aliasing misfires
+on chip. Override the candidate list with GEMMUL8_BENCH_MODES="3,0".
 """
 
 import json
@@ -104,7 +106,7 @@ def main():
         return (t_total - sync_rtt(s)) / iters, (out, s, b_lo)
 
     modes = [int(x) for x in
-             os.environ.get("GEMMUL8_BENCH_MODES", "3,0").split(",")]
+             os.environ.get("GEMMUL8_BENCH_MODES", "3,1,0").split(",")]
     if 0 not in modes:
         modes.append(0)  # the monolithic schedule is the safety net
 

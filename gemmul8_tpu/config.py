@@ -18,6 +18,15 @@ re-expressed for this engine:
                                 OZIMMU_AUTO_AVG_MANTISSA_LOSS_THRESHOLD
                                 mirror, ozIMMU_EF/README.md:68-69) —
                                 baselines.ozimmu.auto_num_split default
+
+Kernel-schedule opt-ins (read at trace time, not via this registry):
+  GEMMUL8_PIPELINE              0 (default) | 1 | 2 | 3 — panel/rider
+                                software pipeline level
+                                (pallas/pipelined.pipeline_mode)
+  GEMMUL8_FUSED_ENCODE / GEMMUL8_FUSED_RECONSTRUCT / GEMMUL8_MM_PIPELINE
+                                measured-slower fusion variants kept as
+                                opt-in records (PERF_NOTES.md)
+  GEMMUL8_BENCH_MODES           bench.py's candidate schedule list
 """
 
 from __future__ import annotations
