@@ -455,8 +455,13 @@ def mag7_operand_pallas(x, axis: int, mag_shift: int = 5):
 # Encode kernel
 # ---------------------------------------------------------------------------
 
+# Tuned default block (scripts/tune_kernels.py). Shared with the panel
+# pipeline's B-split schedule, whose col_tiles units must match block[1].
+ENC_BLOCK = (64, 512)
+
+
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=(64, 512), col_tiles=None):
+                         moduli_idx=None, block=ENC_BLOCK, col_tiles=None):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
     (1,k) for axis=0). Returns (L, m, k) int8.

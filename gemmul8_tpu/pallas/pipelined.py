@@ -41,15 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import encode as enc
 from ..types import F64Bits
 from .kernels import _rec_body, reconstruct_pallas, encode_slices_pallas, \
-    fast_sft_pallas
+    fast_sft_pallas, ENC_BLOCK
 from .matmul import barrett_fixup_params, barrett_reduce, \
     moduli_consts
 
 _I32 = jnp.int32
-
-
-def _ceil_to(x, a):
-    return (x + a - 1) // a * a
 
 
 def _interpret() -> bool:
@@ -131,7 +127,11 @@ def pipeline_mode() -> int:
     GEMMUL8_PIPELINE=0 on any chip-side failure."""
     import os
     v = os.environ.get("GEMMUL8_PIPELINE", "0")
-    return int(v) if v in ("0", "1", "2", "3") else 0
+    if v not in ("0", "1", "2", "3"):
+        # an explicit-but-invalid opt-in must not silently run unpipelined
+        raise ValueError(
+            f"GEMMUL8_PIPELINE={v!r}: expected one of '0','1','2','3'")
+    return int(v)
 
 
 def pipeline_applicable(m: int, n: int, k: int, num_moduli: int,
@@ -169,11 +169,13 @@ def choose_panels(m: int, n: int, k: int, num_moduli: int,
 
 
 def _sched(nt: int, tiles: int, phase: int, nphases: int):
-    """Grid-step -> rider-tile schedule. With nphases=1 every step s maps
-    to tile min(s, tiles-1) (late steps harmlessly rewrite the final tile
-    — its buffer still holds the computed data, and inactive steps never
-    touch it). With nphases=2 the riders interleave by parity: phase-p
-    steps carry tile s//2."""
+    """Grid-step -> rider-tile schedule. With nphases=1 step s maps to
+    tile min(s, tiles-1): steps past the last tile are gated OFF by
+    active() (they never write), and the clamped index map keeps the
+    final output block resident in VMEM until the kernel's final flush
+    (revisiting a flushed block would NOT reload it — CLAUDE.md trap).
+    With nphases=2 the riders interleave by parity: phase-p steps carry
+    tile s//2."""
     t_max = tiles - 1
 
     def tidx(l, j):
@@ -407,7 +409,15 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * L * panel_m * n * k,
-            bytes_accessed=L * (panel_m * k + k * n + panel_m * n),
+            # matmul operands/output plus the riders' streams: the
+            # point of this kernel is overlapped memory-heavy work, so
+            # understating it would skew XLA's latency-hiding heuristics
+            bytes_accessed=(
+                L * (panel_m * k + k * n + panel_m * n)
+                + (L * panel_m * n + n_rec * 4 * panel_m * n
+                   if rec_rider else 0)
+                + (4 * n_src * panel_m * k + L * panel_m * k
+                   if enc_rider else 0)),
             transcendentals=0),
         interpret=_interpret(),
     )(pidx, mods, recips, *operands)
@@ -427,7 +437,7 @@ def bsplit_applicable(m: int, n: int, k: int, num_moduli: int,
     and a rider tiling that encodes the right half of B (k x n/2) within
     the left-half matmul's L*(nt/2) grid steps."""
     nt = n // bn
-    if nt % 2 or nt < 2 or (n // 2) % 512:
+    if nt % 2 or nt < 2 or (n // 2) % ENC_BLOCK[1]:
         return False
     if not pipeline_applicable(m, n, k, num_moduli, panel_m, bn,
                                encode_rider=True):
@@ -467,8 +477,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
 
     # ---- call 0a: matmul left + B-right encode rider ----
     berk, bern = _rider_tiles(k, n // 2, L * ntL)
-    bcols = (n // 2) // bern
-    coff = (n // 2) // bern  # right-half offset in bern units
+    bcols = (n // 2) // bern  # also the right-half offset in bern units
     b_tidx, b_active = _sched(ntL, (k // berk) * bcols, 0, 1)
 
     n_bsrc = 2 if b_kind == "f64" else 1
@@ -493,7 +502,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
 
     def _bsrc(l, j):
         t = b_tidx(l, j)
-        return (t // bcols, t % bcols + coff)
+        return (t // bcols, t % bcols + bcols)
 
     res0, b8_full = pl.pallas_call(
         kern_a,
@@ -508,7 +517,7 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
         ] + [pl.BlockSpec((berk, bern), lambda l, j: _bsrc(l, j),
                           memory_space=pltpu.VMEM)] * n_bsrc + [
             pl.BlockSpec((1, bern),
-                         lambda l, j: (0, b_tidx(l, j) % bcols + coff),
+                         lambda l, j: (0, b_tidx(l, j) % bcols + bcols),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -526,7 +535,11 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * L * panel_m * (n // 2) * k,
-            bytes_accessed=L * (panel_m * k + k * n // 2 + panel_m * n // 2),
+            # matmul streams plus the B-right encode rider's source read
+            # and residue write
+            bytes_accessed=(L * (panel_m * k + k * n // 2 + panel_m * n // 2)
+                            + 4 * n_bsrc * k * (n // 2)
+                            + L * k * (n // 2)),
             transcendentals=0),
         interpret=_interpret(),
     )(mods, recips, a8_p0, b8_left, *_src_arrays(b_src, b_kind), sft_b)
@@ -615,8 +628,11 @@ def matmul_bsplit_pair(a8_p0, b8_left, b_src, sft_a, sft_b,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * L * panel_m * (n - n // 2) * k,
-            bytes_accessed=L * (panel_m * k + k * (n - n // 2)
-                                + panel_m * (n - n // 2)),
+            # matmul streams plus the A-panel-1 encode rider's
+            bytes_accessed=(L * (panel_m * k + k * (n - n // 2)
+                                 + panel_m * (n - n // 2))
+                            + (4 * n_asrc * panel_m * k + L * panel_m * k
+                               if enc_rider else 0)),
             transcendentals=0),
         interpret=_interpret(),
     )(*operands)
@@ -719,10 +735,17 @@ def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
     m, k = a.shape
     n = b.shape[1]
     P = m // panel_m
+    if m % panel_m or P < 2:
+        # the schedule needs >= 2 panels (panel p's matmul carries panel
+        # p-1's reconstruct); callers gate via choose_panels/
+        # pipeline_applicable, which enforce the same bound
+        raise ValueError(
+            f"panel pipeline needs m a multiple of panel_m with at least "
+            f"2 panels; got m={m}, panel_m={panel_m}")
     a_kind = "f64" if isinstance(a, F64Bits) else "f32"
     b_kind = "f64" if isinstance(b, F64Bits) else "f32"
     if b_rider:
-        assert encode_rider and (n // 2) % 512 == 0 \
+        assert encode_rider \
             and bsplit_applicable(m, n, k, num_moduli, panel_m, bn)
     if sfts is not None:
         sft_a, sft_b = sfts
@@ -736,7 +759,7 @@ def gemm_pipelined(a, b, num_moduli: int, kind: str = "f64",
         a_rider_src = _RawSrc(_src_arrays(a, "f32")[0])
     if b_rider:
         b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0,
-                                  col_tiles=(0, (n // 2) // 512))
+                                  col_tiles=(0, (n // 2) // ENC_BLOCK[1]))
         b_src = b if b_kind == "f64" else _RawSrc(_src_arrays(b, "f32")[0])
     else:
         b8 = encode_slices_pallas(b, sft_b, num_moduli, axis=0)
