@@ -189,3 +189,22 @@ def test_applicability_gates():
     assert not pp.pipeline_applicable(8192, 8100, 8192, 14)   # n % bn
     assert not pp.pipeline_applicable(8200, 8192, 8192, 14)   # m % panel
     assert not pp.pipeline_applicable(8192, 8192, 131072, 14)  # k cap
+
+
+def test_invalid_pipeline_env_raises(monkeypatch):
+    # an explicit-but-invalid opt-in must not silently run unpipelined
+    monkeypatch.setenv("GEMMUL8_PIPELINE", "4")
+    with pytest.raises(ValueError, match="GEMMUL8_PIPELINE"):
+        pp.pipeline_mode()
+    monkeypatch.setenv("GEMMUL8_PIPELINE", " 2")
+    with pytest.raises(ValueError):
+        pp.pipeline_mode()
+
+
+def test_too_few_panels_raises():
+    a = f64_to_bits(_phi(256, 256, 0.5, seed=7))
+    b = f64_to_bits(_phi(256, 256, 0.5, seed=8))
+    with pytest.raises(ValueError, match="2 panels"):
+        pp.gemm_pipelined(a, b, 9, panel_m=256)   # P = 1
+    with pytest.raises(ValueError, match="2 panels"):
+        pp.gemm_pipelined(a, b, 9, panel_m=512)   # P = 0
