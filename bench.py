@@ -10,9 +10,11 @@ Prints one JSON line.
 Schedule selection: the panel/rider pipeline (GEMMUL8_PIPELINE modes 3
 and 1) and the monolithic fused path are compiled, accuracy-gated
 against the dd oracle, speed-probed with a short chained run, and the
-fastest is measured. Mode 1 (reconstruct rider only, no aliased encode
-writes) is the low-risk middle candidate if mode 3's aliasing misfires
-on chip. Override the candidate list with GEMMUL8_BENCH_MODES="3,0".
+fastest is measured. Mode 1 (reconstruct rider only — no aliased encode
+writes into b8, though the alias-chained reconstruct accumulator
+remains) is the middle candidate if mode 3's extra aliasing misfires on
+chip; only mode 0 is fully alias-free. Override the candidate list with
+GEMMUL8_BENCH_MODES="3,0".
 """
 
 import json
@@ -140,7 +142,16 @@ def main():
                   f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
     assert survivors, "every schedule failed, incl. monolithic"
 
-    dt0, mode, f, state = min(survivors)
+    survivors.sort(key=lambda t: t[0])
+    dt0, mode, f, state = survivors[0]
+    # free the losers' device buffers (out hi/lo + donated b_lo each)
+    # before the measured run — at 8192^2 they would otherwise pin
+    # ~0.5 GB/candidate of dead HBM against the winner's pipeline
+    for _, _, _, st in survivors[1:]:
+        for leaf in jax.tree_util.tree_leaves(st):
+            if isinstance(leaf, jax.Array):
+                leaf.delete()
+    del survivors
     dt, (out, s, b_lo) = chained(f, state, 20)
     tflops = 2 * n ** 3 / dt / 1e12
 

@@ -126,7 +126,8 @@ def pipeline_mode() -> int:
     accuracy-gates its warmup call against the dd oracle, reverting to
     GEMMUL8_PIPELINE=0 on any chip-side failure."""
     import os
-    v = os.environ.get("GEMMUL8_PIPELINE", "0")
+    # empty string == unset (the `GEMMUL8_PIPELINE= cmd` clearing idiom)
+    v = os.environ.get("GEMMUL8_PIPELINE") or "0"
     if v not in ("0", "1", "2", "3"):
         # an explicit-but-invalid opt-in must not silently run unpipelined
         raise ValueError(

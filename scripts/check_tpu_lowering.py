@@ -16,7 +16,7 @@ Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
         "mdp3" (mixed FP64 x FP32 -> FP64 riding the mode-3 pipeline),
         "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE / FUSED_RECONSTRUCT /
         MM_PIPELINE env-gated branches).
-        Default: 0 3
+        Default: 0 1 3
 
 Each config lowers in ~1 s (plus the jax import); the pytest wrapper
 (tests/test_tpu_lowering.py) runs a few configs in the default suite,
@@ -103,7 +103,7 @@ def check(n: int, mode: str) -> int:
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    modes = sys.argv[2:] or ["0", "3"]
+    modes = sys.argv[2:] or ["0", "1", "3"]
     if len(modes) > 1:
         # one subprocess per mode: GEMMUL8_PIPELINE and the interpret
         # monkeypatch are read at trace time and must not leak across

@@ -18,7 +18,8 @@ _SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir,
                        "scripts", "check_tpu_lowering.py")
 
 
-@pytest.mark.parametrize("n,mode", [(512, "0"), (512, "3"), (1024, "3"),
+@pytest.mark.parametrize("n,mode", [(512, "0"), (512, "1"), (512, "3"),
+                                    (1024, "3"),
                                     (512, "accu"), (512, "accu3"),
                                     (512, "f32p3"), (512, "mdp3"),
                                     (512, "fe"),
