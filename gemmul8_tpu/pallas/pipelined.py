@@ -33,6 +33,8 @@ the reconstruct rider reuses _rec_body verbatim).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -240,6 +242,15 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
     acc_chain = isinstance(acc, tuple)
     m_total = sft_a.shape[0]
     nphases = 2 if (rec_rider and enc_rider) else 1
+    # Unconditional single-rider execution: with one rider the clamped
+    # index maps already fetch tile t_max's blocks on every step past the
+    # last tile, so dropping pl.when only re-runs an idempotent tile
+    # write (the rider bodies are pure functions of their refs) — it
+    # trades ~(steps-tiles)/tiles redundant VPU work for predication-free
+    # code Mosaic can overlap with the MXU dots
+    # (matmul_mod_u8_pipelined's measured failure mode was predication).
+    uncond = (nphases == 1 and os.environ.get(
+        "GEMMUL8_RIDER_UNCOND", "0") == "1")
     # panel indices ride in as prefetched scalars so pipeline stages with
     # the same rider structure share ONE compiled kernel (a static
     # capture would specialize the Mosaic payload per panel)
@@ -289,17 +300,23 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
                                   bias, fix_steps).astype(jnp.uint8)
 
         if rec_rider:
-            @pl.when(r_active(l, j))
-            def _():
+            def _rec():
                 outs = _rec_body(r_ref[:], sa_ref[:], sb_ref[:],
                                  num_moduli, out_kind)
                 for ref, val in zip(rec_refs, outs):
                     ref[:] = val
+            if uncond:
+                _rec()
+            else:
+                pl.when(r_active(l, j))(_rec)
         if enc_rider:
-            @pl.when(e_active(l, j))
-            def _():
+            def _enc():
                 a8n_ref[:] = _encode_tile(src_refs, sae_ref, num_moduli,
                                           a_kind)
+            if uncond:
+                _enc()
+            else:
+                pl.when(e_active(l, j))(_enc)
 
     if a8_full:
         a_spec = pl.BlockSpec((1, panel_m, k),

@@ -96,6 +96,8 @@ def main():
               f"(d vs A {(dt_a-dt_b)*1e3:+7.2f} ms; "
               f"wall {time.perf_counter()-t0:.0f}s)", flush=True)
 
+        if os.environ.get("GEMMUL8_PROBE_B_ONLY") == "1":
+            continue
         if not pp.pipeline_applicable(n, n, n, L, panel_m=cfg[0],
                                       bn=cfg[1], encode_rider=True):
             continue
