@@ -7,14 +7,13 @@ chips (GH200 int8 probe 1575 TOPS vs TPU v5e 394.5 TOPS): an equal-quality
 implementation on this chip would score 72.13 * 394.5/1575 = 18.07 TFLOPS.
 Prints one JSON line.
 
-Schedule selection: the panel/rider pipeline (GEMMUL8_PIPELINE modes 3
-and 1) and the monolithic fused path are compiled, accuracy-gated
+Schedule selection: each candidate schedule is compiled, accuracy-gated
 against the dd oracle, speed-probed with a short chained run, and the
-fastest is measured. Mode 1 (reconstruct rider only — no aliased encode
-writes into b8, though the alias-chained reconstruct accumulator
-remains) is the middle candidate if mode 3's extra aliasing misfires on
-chip; only mode 0 is fully alias-free. Override the candidate list with
-GEMMUL8_BENCH_MODES="3,0".
+fastest is measured. The default candidate list is "0" (the monolithic
+fused path): the panel/rider pipeline modes 3 and 1 measured SLOWER on
+chip (riders don't hide — kill table in PERF_NOTES.md), so probing them
+burns chip time on known losers. They remain opt-in probes:
+GEMMUL8_BENCH_MODES="3,1,0".
 """
 
 import json
@@ -108,7 +107,7 @@ def main():
         return (t_total - sync_rtt(s)) / iters, (out, s, b_lo)
 
     modes = [int(x) for x in
-             os.environ.get("GEMMUL8_BENCH_MODES", "3,1,0").split(",")]
+             os.environ.get("GEMMUL8_BENCH_MODES", "0").split(",")]
     if 0 not in modes:
         modes.append(0)  # the monolithic schedule is the safety net
 

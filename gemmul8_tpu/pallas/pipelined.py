@@ -249,8 +249,17 @@ def matmul_rider_step(a8, b8, panel: int, r_prev, prev_panel: int,
     # trades ~(steps-tiles)/tiles redundant VPU work for predication-free
     # code Mosaic can overlap with the MXU dots
     # (matmul_mod_u8_pipelined's measured failure mode was predication).
-    uncond = (nphases == 1 and os.environ.get(
-        "GEMMUL8_RIDER_UNCOND", "0") == "1")
+    # Like pipeline_mode's env, this is read at TRACE time: it is not part
+    # of any jit cache key, so toggling it after a shape has been traced
+    # keeps the previously-compiled schedule until the cache is dropped.
+    uncond = os.environ.get("GEMMUL8_RIDER_UNCOND", "0") == "1"
+    if uncond and nphases != 1:
+        import warnings
+        warnings.warn(
+            "GEMMUL8_RIDER_UNCOND=1 only applies to single-rider panels "
+            "(nphases==1); two-rider (mode>=2) steps interleave rider "
+            "kinds by parity and keep their pl.when gates", stacklevel=2)
+        uncond = False
     # panel indices ride in as prefetched scalars so pipeline stages with
     # the same rider structure share ONE compiled kernel (a static
     # capture would specialize the Mosaic payload per panel)
