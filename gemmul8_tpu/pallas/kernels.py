@@ -17,13 +17,17 @@ The int8 slice GEMMs stay on XLA dot_general (native MXU int8).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import tables
 from ..core import encode as enc
+from ..core import limbs as lb
 from ..core import reconstruct as rec
 from ..core.modmath import mod_i32
 from ..types import F64Bits
@@ -532,21 +536,98 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
 # ---------------------------------------------------------------------------
 # Reconstruct kernel: mod-reduce + CRT limb accumulate + mod-M + rounding,
 # all fused.
+#
+# The CRT weighted accumulation X = sum_j w_j * r_j costs ~2*L*nl int32
+# VPU ops per output element (~196 at 14 moduli) — measured ~11 of the
+# ~14.8 ms reconstruct phase at 8192^2 (PERF_NOTES.md). The MXU variant
+# (GEMMUL8_MXU_CRT, default on) computes it as ONE int8 MXU contraction
+# per block instead:
+#
+#     Y ((nd+1)*bm, bn) = W' ((nd+1)*bm, L*bm) @ R (L*bm, bn)
+#
+# R is the residue block (L, bm, bn) centered to int8 (r - 128) and
+# collapsed along sublanes (free when bm % 8 == 0: each modulus slice is
+# whole (8, 128) tiles, so the collapse is a layout no-op). W' is a
+# compile-time block-diagonal matrix whose (d, j) block is
+# (byte d of w_j - 128) * I_bm, plus a ones block row that yields
+# S = sum_j (r_j - 128) for the zero-point fixup:
+#
+#     X[d] = sum_j r_j * wbyte[j, d] = Y[d] + 128 * S + C[d]
+#
+# with C[d] = 128 * sum_j (wbyte[j,d] - 128) + 128^2 * L a python-int
+# constant. 16-bit limbs then assemble from byte-digit pairs:
+# x[l] = Y[2l] + (Y[2l+1] << 8) + 32896 * S + CL[l] — ~5 VPU ops per limb
+# instead of ~2L. The identity-block redundancy prices the contraction at
+# (nd+1)*L*bm MACs per element (~30 G at bm=8, 8192^2, 14 moduli):
+# noise for the MXU. Exact integer math throughout, so the canonical
+# limb list is BIT-IDENTICAL to accumulate_weighted's.
 # ---------------------------------------------------------------------------
+
+def _crt_mxu_consts(num_moduli: int, bm: int):
+    """(W' ((nd+1)*bm, L*bm) int8 ndarray, CL limb-correction tuple[int]).
+
+    W' rows d*bm..(d+1)*bm-1 select byte-digit d of the weighted sum; the
+    last block row (all-ones diagonal) yields S. See the block comment
+    above for the algebra."""
+    w16 = np.asarray(tables.crt_weight_limbs(num_moduli), dtype=np.int64)
+    L, nl = w16.shape
+    nd = 2 * nl
+    wb = np.zeros((nd + 1, L), np.int64)
+    for l in range(nl):
+        wb[2 * l] = w16[:, l] & 0xFF
+        wb[2 * l + 1] = (w16[:, l] >> 8) & 0xFF
+    wc = wb - 128
+    wc[nd] = 1                      # ones row: S, no zero-point semantics
+    wp = np.kron(wc, np.eye(bm, dtype=np.int64)).astype(np.int8)
+    c = 128 * wc[:nd].sum(axis=1) + 128 * 128 * L
+    cl = tuple(int(c[2 * l] + (c[2 * l + 1] << 8)) for l in range(nl))
+    return wp, cl
+
+
+def _crt_accumulate_mxu(rc2, w, num_moduli: int, cl, bm: int, bn: int):
+    """Canonical 16-bit limbs of X = sum_j w_j * r_j from the centered
+    residue matrix rc2 (L*bm, bn) int8 via the W' contraction. Exact:
+    bit-identical to rec.accumulate_weighted."""
+    nl = len(cl)
+    nd = 2 * nl
+    y = jax.lax.dot_general(w, rc2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y3 = y.reshape(nd + 1, bm, bn)
+    t = y3[nd] * _I32(32896)        # 128*(1+256)*S, shared by every limb
+    # |Y[d]| <= L*128^2, X parts < 2^28, t < 2^26: limb sums fit int32
+    x = [y3[2 * l] + (y3[2 * l + 1] << 8) + t + _I32(cl[l])
+         for l in range(nl)]
+    return lb.carry_propagate(x)
+
+
+def _centered_residues(c32, num_moduli: int):
+    """(L*bm, bn) int8 centered canonical residues from a (L, bm, bn)
+    block of uint8 canonical residues (bit trick) or int32 raw slice
+    products (Barrett-reduce first, as the VPU body does)."""
+    L, bm, bn = c32.shape
+    if c32.dtype == jnp.uint8:
+        rc = jax.lax.bitcast_convert_type(c32 ^ jnp.uint8(0x80), jnp.int8)
+        return rc.reshape(L * bm, bn)
+    parts = []
+    for j in range(num_moduli):
+        mj = int(tables.MODULI[j])
+        rj = (c32[j] & _I32(255)) if mj == 256 else mod_i32(c32[j], mj)
+        parts.append((rj - 128).astype(jnp.int8))
+    return jnp.concatenate(parts, axis=0)
+
+
+def mxu_crt_default() -> bool:
+    """Whether reconstruct_pallas routes the CRT accumulation through the
+    MXU (GEMMUL8_MXU_CRT, default on). Read at trace time."""
+    return os.environ.get("GEMMUL8_MXU_CRT", "1") == "1"
+
 
 def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
     if input_kind == "limbs":
         # canonical 16-bit limbs of the weighted CRT sum, straight from the
         # fused matmul epilogue (matmul_crt_pallas) — skip accumulation
         x = [c32[i] for i in range(c32.shape[0])]
-        e_fix = -(sft_a + sft_b)
-        mag, negf = rec._mod_m_centered(x, num_moduli)
-        if out_kind == "f64":
-            eb, mant = rec._round_to_float(mag, negf, e_fix, 53)
-            out = rec._assemble_f64(negf, eb, mant)
-            return out.hi, out.lo
-        eb, mant = rec._round_to_float(mag, negf, e_fix, 24)
-        return (rec._assemble_f32(negf, eb, mant),)
+        return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind)
     if c32.dtype == jnp.uint8:
         # canonical residues from the fused-matmul epilogue
         r = [c32[j].astype(_I32) for j in range(num_moduli)]
@@ -559,6 +640,12 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
             else:
                 r.append(mod_i32(c32[j], mj))
     x = rec.accumulate_weighted(jnp.stack(r, 0), num_moduli)
+    return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind)
+
+
+def _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind):
+    """mod-M centering + inverse scaling + IEEE rounding from canonical
+    weighted-sum limbs (the tail every reconstruct body shares)."""
     e_fix = -(sft_a + sft_b)
     mag, negf = rec._mod_m_centered(x, num_moduli)
     if out_kind == "f64":
@@ -569,13 +656,32 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
     return (rec._assemble_f32(negf, eb, mant),)
 
 
+# Tuned MXU-path block (scripts/tune_kernels.py recon): the W' contraction
+# prices redundancy at bm x, so small bm wins; bn amortizes the grid.
+REC_MXU_BLOCK = (16, 512)
+
+
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
-                       block=(32, 256), input_kind: str = "residues"):
+                       block=None, input_kind: str = "residues",
+                       mxu: bool | None = None):
     """Fused mod-reduce + CRT + inverse scaling. c32: (L, m, n) int32 slice
     products / uint8 residues, or (num_limbs, m, n) canonical limbs when
-    input_kind="limbs"; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32."""
+    input_kind="limbs"; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32.
+
+    mxu (default: GEMMUL8_MXU_CRT env, on) routes the CRT weighted
+    accumulation through an int8 MXU contraction (see _crt_mxu_consts) —
+    bit-identical output, ~1/3 the VPU ops. Only applies to the
+    "residues" input kind (the "limbs" input already skipped it)."""
     L, m, n = c32.shape
+    if mxu is None:
+        mxu = mxu_crt_default()
+    mxu = mxu and input_kind == "residues"
+    if block is None:
+        block = REC_MXU_BLOCK if mxu else (32, 256)
     bm, bn = block
+    if mxu:
+        assert bm % 8 == 0, "sublane collapse needs bm % 8 == 0"
+        wp, cl = _crt_mxu_consts(num_moduli, bm)
     mp, np_ = _ceil_to(m, bm), _ceil_to(n, bn)
     c32p = jnp.pad(c32, ((0, 0), (0, mp - m), (0, np_ - n)))
     sfta_p = jnp.pad(sft_a, ((0, mp - m), (0, 0)))
@@ -589,13 +695,32 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
     ]
     tile_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
+    inputs = (c32p, sfta_p, sftb_p)
+    if mxu:
+        # W' rides as a VMEM-resident input (constant index map); baking a
+        # 200 KB arbitrary constant into the kernel body is not supported
+        in_specs = [pl.BlockSpec(wp.shape, lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)] + in_specs
+        inputs = (jnp.asarray(wp),) + inputs
+
+    def body(c, sa, sb, w=None):
+        if mxu:
+            rc2 = _centered_residues(c, num_moduli)
+            x = _crt_accumulate_mxu(rc2, w, num_moduli, cl, bm, bn)
+            return _finalize_tile(x, sa, sb, num_moduli, out_kind)
+        return _rec_body(c, sa, sb, num_moduli, out_kind, input_kind)
 
     if out_kind == "f64":
-        def kern(c_ref, sa_ref, sb_ref, hi_ref, lo_ref):
-            hi, lo = _rec_body(c_ref[:], sa_ref[:], sb_ref[:], num_moduli,
-                               "f64", input_kind)
-            hi_ref[:] = hi
-            lo_ref[:] = lo
+        if mxu:
+            def kern(w_ref, c_ref, sa_ref, sb_ref, hi_ref, lo_ref):
+                hi, lo = body(c_ref[:], sa_ref[:], sb_ref[:], w_ref[:])
+                hi_ref[:] = hi
+                lo_ref[:] = lo
+        else:
+            def kern(c_ref, sa_ref, sb_ref, hi_ref, lo_ref):
+                hi, lo = body(c_ref[:], sa_ref[:], sb_ref[:])
+                hi_ref[:] = hi
+                lo_ref[:] = lo
 
         hi, lo = pl.pallas_call(
             kern, grid=grid, in_specs=in_specs,
@@ -605,12 +730,15 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=_interpret(),
-        )(c32p, sfta_p, sftb_p)
+        )(*inputs)
         return F64Bits(hi[:m, :n], lo[:m, :n])
 
-    def kern32(c_ref, sa_ref, sb_ref, o_ref):
-        (o_ref[:],) = _rec_body(c_ref[:], sa_ref[:], sb_ref[:], num_moduli,
-                                "f32", input_kind)
+    if mxu:
+        def kern32(w_ref, c_ref, sa_ref, sb_ref, o_ref):
+            (o_ref[:],) = body(c_ref[:], sa_ref[:], sb_ref[:], w_ref[:])
+    else:
+        def kern32(c_ref, sa_ref, sb_ref, o_ref):
+            (o_ref[:],) = body(c_ref[:], sa_ref[:], sb_ref[:])
 
     o = pl.pallas_call(
         kern32, grid=grid, in_specs=in_specs, out_specs=tile_spec,
@@ -618,5 +746,5 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(c32p, sfta_p, sftb_p)
+    )(*inputs)
     return o[:m, :n]

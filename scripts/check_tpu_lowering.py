@@ -15,7 +15,9 @@ Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
         "f32p3" (pure-f32 SGEMM path riding the mode-3 pipeline),
         "mdp3" (mixed FP64 x FP32 -> FP64 riding the mode-3 pipeline),
         "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE / FUSED_RECONSTRUCT /
-        MM_PIPELINE env-gated branches).
+        MM_PIPELINE env-gated branches), "vpucrt" (GEMMUL8_MXU_CRT=0:
+        the VPU CRT-accumulate reconstruct fallback; mode 0 itself
+        covers the default MXU-CRT reconstruct).
         Default: 0 1 3
 
 Each config lowers in ~1 s (plus the jax import); the pytest wrapper
@@ -41,6 +43,8 @@ def check(n: int, mode: str) -> int:
         else "3" if mode in ("accu3", "f32p3", "mdp3") else "0")
     if mode in _ENV_GATES:
         os.environ[_ENV_GATES[mode]] = "1"
+    if mode == "vpucrt":
+        os.environ["GEMMUL8_MXU_CRT"] = "0"
     # jax.export's jaxpr traversal recurses deeply on the unrolled
     # 14-moduli graph; the default 1000-frame limit is not enough
     sys.setrecursionlimit(20000)

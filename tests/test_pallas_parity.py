@@ -335,3 +335,72 @@ def test_magmax_matmul_multitile():
                                                block=(128, 128, 128))
     assert np.array_equal(ref_row, np.asarray(got_row))
     assert np.array_equal(ref_col, np.asarray(got_col))
+
+
+@pytest.mark.parametrize("out_kind", ["f64", "f32"])
+def test_reconstruct_mxu_crt_parity(out_kind):
+    """MXU-CRT reconstruct (W' int8 contraction) vs the VPU accumulate:
+    BIT-identical for the uint8-residue input the TPU path produces AND
+    for int32 raw slice products (the Barrett-first branch)."""
+    L = 14
+    rng = np.random.default_rng(5)
+    moduli = [256, 255, 253, 251, 247, 241, 239, 233, 229, 227, 223, 217,
+              211, 199]
+    r_u8 = jnp.asarray(np.stack([
+        rng.integers(0, m, (80, 96)) for m in moduli]).astype(np.uint8))
+    sft_a = jnp.asarray(rng.integers(-40, 40, (80, 1)).astype(np.int32))
+    sft_b = jnp.asarray(rng.integers(-40, 40, (1, 96)).astype(np.int32))
+
+    def cmp(ref, got):
+        if out_kind == "f64":
+            assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+            assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
+        else:
+            assert np.array_equal(np.asarray(ref).view(np.uint32),
+                                  np.asarray(got).view(np.uint32))
+
+    ref = pk.reconstruct_pallas(r_u8, sft_a, sft_b, L, out_kind,
+                                block=(16, 64), mxu=False)
+    got = pk.reconstruct_pallas(r_u8, sft_a, sft_b, L, out_kind,
+                                block=(16, 64), mxu=True)
+    cmp(ref, got)
+    # block-size independence of the MXU path (different W' shapes)
+    got8 = pk.reconstruct_pallas(r_u8, sft_a, sft_b, L, out_kind,
+                                 block=(8, 128), mxu=True)
+    cmp(ref, got8)
+    # int32 raw products: Barrett-reduce first, then the MXU contraction
+    raw = (r_u8.astype(jnp.int32)
+           + jnp.asarray(np.array(moduli, np.int32))[:, None, None] * 977)
+    ref32 = pk.reconstruct_pallas(raw, sft_a, sft_b, L, out_kind,
+                                  block=(16, 64), mxu=False)
+    got32 = pk.reconstruct_pallas(raw, sft_a, sft_b, L, out_kind,
+                                  block=(16, 64), mxu=True)
+    cmp(ref32, got32)
+
+
+def test_crt_mxu_consts_exact():
+    """The W' contraction algebra reproduces sum_j w_j * r_j exactly for
+    adversarial residues (all-zero, all-max, mixed) at several L."""
+    from gemmul8_tpu import tables
+    from gemmul8_tpu.core import limbs as lb
+
+    for L in (2, 8, 14, 20):
+        nl = tables.num_limbs(L)
+        bm = 8
+        wp, cl = pk._crt_mxu_consts(L, bm)
+        assert wp.shape == ((2 * nl + 1) * bm, L * bm)
+        rng = np.random.default_rng(L)
+        mods = np.asarray(tables.MODULI[:L], np.int64)
+        r = rng.integers(0, mods[:, None, None], (L, bm, 128)).astype(np.uint8)
+        r[:, 0, 0] = 0
+        r[:, 0, 1] = (mods - 1).astype(np.uint8)
+        rc2 = jnp.asarray((r.astype(np.int32) - 128).astype(np.int8)
+                          .reshape(L * bm, 128))
+        x = pk._crt_accumulate_mxu(rc2, jnp.asarray(wp), L, cl, bm, 128)
+        # exact big-int check against the weights
+        w = np.asarray(tables.crt_weight_limbs(L), dtype=object)
+        wfull = sum(w[:, l] * (1 << (16 * l)) for l in range(nl))
+        want = sum(wfull[j] * r[j].astype(object) for j in range(L))
+        got = sum(np.asarray(x[l]).astype(object) << (16 * l)
+                  for l in range(nl))
+        assert (got == want).all()
