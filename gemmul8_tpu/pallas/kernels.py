@@ -656,9 +656,13 @@ def _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind):
     return (rec._assemble_f32(negf, eb, mant),)
 
 
-# Tuned MXU-path block (scripts/tune_kernels.py recon): the W' contraction
-# prices redundancy at bm x, so small bm wins; bn amortizes the grid.
-REC_MXU_BLOCK = (16, 512)
+# Tuned MXU-path block (scripts/tune_kernels.py recon, v5e 8192^2/14):
+# the W' contraction prices redundancy at bm x, so the minimal sublane
+# block wins; a wide bn amortizes the per-step overhead. Measured 7.7-9.1
+# ms vs 11.4-14.8 for the best VPU blocks (run-to-run spread ~±1 ms).
+# Powers of two only: a bn that does not divide n pads the grid (e.g.
+# 3072 at n=8192 re-ran 14.7 ms purely from the +12% padded columns).
+REC_MXU_BLOCK = (8, 4096)
 
 
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
@@ -679,6 +683,8 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
     if block is None:
         block = REC_MXU_BLOCK if mxu else (32, 256)
     bm, bn = block
+    # shrink for small problems (the defaults target the headline sizes)
+    bm, bn = min(bm, _ceil_to(m, 8)), min(bn, _ceil_to(n, 128))
     if mxu:
         assert bm % 8 == 0, "sublane collapse needs bm % 8 == 0"
         wp, cl = _crt_mxu_consts(num_moduli, bm)

@@ -121,7 +121,8 @@ def main():
     if which in ("all", "recon"):
         r8 = jnp.asarray(rng.integers(0, 173, (L, n, n), dtype=np.uint8))
         sft_b = sft.T
-        for blk in [(32, 256), (16, 256), (8, 512), (32, 512), (16, 512), (64, 256)]:
+        for blk in [(8, 4096), (8, 2048), (16, 1024), (32, 512), (32, 256),
+                    (16, 512)]:
             try:
                 f = jax.jit(lambda r, sa, sb, b=blk: pk.reconstruct_pallas(
                     r, sa, sb, L, "f64", block=b))
