@@ -29,7 +29,7 @@ from .. import tables
 from ..core import encode as enc
 from ..core import limbs as lb
 from ..core import reconstruct as rec
-from ..core.modmath import mod_i32
+from ..core.modmath import mod_i32, mod_u26
 from ..types import F64Bits
 
 _I32 = jnp.int32
@@ -457,15 +457,102 @@ def mag7_operand_pallas(x, axis: int, mag_shift: int = 5):
 
 # ---------------------------------------------------------------------------
 # Encode kernel
+#
+# The per-modulus residue dots sum_i chunk_i * (2^16i mod m_j) cost
+# ~10 VPU ops x L per element. The MXU variant (GEMMUL8_MXU_ENC, default
+# on) computes ALL of them as one int8 contraction per block — the mirror
+# of the MXU-CRT reconstruct trick, on the input side:
+#
+#     Y ((L+1)*bm, bk) = W'' ((L+1)*bm, nb*bm) @ B (nb*bm, bk)
+#
+# B stacks the nb centered byte planes of the shifted significand along
+# sublanes; W'' is block-diagonal of (2^(8i) mod m_j - 128) with a ones
+# block row for the zero-point sum. raw_j = Y[j] + 128*S + C[j] then runs
+# the same Barrett/center/sign tail, so residues are bit-identical to the
+# chunk-dot path (the canonical residue is unique and both accs are
+# exact).
 # ---------------------------------------------------------------------------
 
 # Tuned default block (scripts/tune_kernels.py). Shared with the panel
 # pipeline's B-split schedule, whose col_tiles units must match block[1].
 ENC_BLOCK = (64, 512)
+# MXU-path block: minimal sublanes (the W'' redundancy prices at bm x),
+# wide second dim (amortizes per-step overhead) — same shape logic as
+# REC_MXU_BLOCK.
+ENC_MXU_BLOCK = (8, 4096)
+
+
+def mxu_enc_default() -> bool:
+    """Whether encode_slices_pallas routes the residue dots through the
+    MXU (GEMMUL8_MXU_ENC, default on). Read at trace time."""
+    return os.environ.get("GEMMUL8_MXU_ENC", "1") == "1"
+
+
+def _enc_mxu_consts(moduli_idx, nb: int, bm: int):
+    """(W'' ((L+1)*bm, nb*bm) int8, C per-modulus int tuple) for the
+    byte-plane residue contraction (see the block comment above)."""
+    L = len(moduli_idx)
+    wc = np.zeros((L + 1, nb), np.int64)
+    for jj, j in enumerate(moduli_idx):
+        m = int(tables.MODULI[j])
+        for i in range(nb):
+            wc[jj, i] = pow(2, 8 * i, m) - 128
+    wc[L] = 1                    # ones row -> S = sum_i (b_i - 128)
+    wp = np.kron(wc, np.eye(bm, dtype=np.int64)).astype(np.int8)
+    c = tuple(int(128 * wc[jj].sum() + 128 * 128 * nb) for jj in range(L))
+    return wp, c
+
+
+def _encode_tile_mxu(chunks, exp, sign, normal, sft, w, num_moduli: int,
+                     mant_bits: int, moduli_idx, consts, nb: int):
+    """MXU counterpart of enc._encode_with_sft for one (bm, bk) tile:
+    identical shifted-word construction, residue dots on the MXU,
+    identical Barrett/center/sign tail. Bit-identical residues."""
+    mant_shift = 1075 if mant_bits == 53 else 150
+    q = exp - _I32(mant_shift) + sft
+    t_a = tables.threshold_accurate(num_moduli)
+    q_max_static = max(t_a - 1 - (mant_bits - 1), 0)
+    words = enc._shifted_value_words(chunks, q, mant_bits, q_max_static)
+    bm, bk = q.shape
+    # centered byte planes along sublanes: (nb*bm, bk) int8. The int8 cast
+    # truncates to the low byte, so no & 0xFF is needed; ^ 0x80 is the
+    # (b - 128) bit pattern.
+    planes = []
+    for i in range(nb):
+        w32 = words[i // 4]
+        b = (w32 >> jnp.uint32(8 * (i % 4))) if i % 4 else w32
+        planes.append((b ^ jnp.uint32(0x80)).astype(jnp.int8))
+    rc2 = jnp.concatenate(planes, axis=0)
+    y = jax.lax.dot_general(w, rc2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=_I32)
+    L = len(moduli_idx)
+    y3 = y.reshape(L + 1, bm, bk)
+    s128 = y3[L] * _I32(128)
+    neg = (sign == 1)
+    out = []
+    for jj, j in enumerate(moduli_idx):
+        m = int(tables.MODULI[j])
+        raw = y3[jj] + s128 + _I32(consts[jj])     # exact sum_i b_i*2^8i mod-m
+        if m == 256:
+            # same two's-complement wraparound as _residues_from_chunks:
+            # raw IS the value's low byte (2^8i mod 256 == 0 for i > 0)
+            sv = jnp.where(neg, (_I32(256) - raw) & _I32(0xFF), raw)
+            rc = (sv ^ _I32(0x80)) - _I32(0x80)
+        else:
+            # raw <= nb*255*(m-1) < 2^20: comfortably inside the 26-bit
+            # single-fixup Barrett contract
+            base = mod_u26(raw, m, 26)
+            rc = base - jnp.where(base >= _I32((m + 1) // 2), _I32(m),
+                                  _I32(0))
+            rc = jnp.where(neg, -rc, rc)
+        rc = jnp.where(normal, rc, _I32(0))
+        out.append(rc.astype(jnp.int8))
+    return jnp.stack(out, axis=0)
 
 
 def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
-                         moduli_idx=None, block=ENC_BLOCK, col_tiles=None):
+                         moduli_idx=None, block=None, col_tiles=None,
+                         mxu: bool | None = None):
     """Residue slices via a fused VMEM kernel. x: F64Bits or f32 array
     (2D); sft: keepdims shift from the stats pass ((m,1) for axis=1,
     (1,k) for axis=0). Returns (L, m, k) int8.
@@ -475,15 +562,42 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
     keeps the FULL (L, m, k) shape, leaving the other columns
     uninitialized. Used by the panel pipeline's B-split schedule
     (pallas/pipelined.py), which fills the remainder through an aliased
-    rider write inside the first panel's matmul."""
+    rider write inside the first panel's matmul (and whose tile units
+    assume ENC_BLOCK, so col_tiles forces the VPU path).
+
+    mxu (default: GEMMUL8_MXU_ENC env, on) runs the per-modulus residue
+    dots as one int8 MXU contraction per block (bit-identical output)."""
     is64 = isinstance(x, F64Bits)
     m, k = x.shape
+    if mxu is None:
+        mxu = mxu_enc_default()
+    mxu = mxu and col_tiles is None
+    if block is None:
+        block = ENC_MXU_BLOCK if mxu else ENC_BLOCK
     bm, bk = block
+    bm, bk = min(bm, _ceil_to(m, 8)), min(bk, _ceil_to(k, 128))
     mp, kp = _ceil_to(m, bm), _ceil_to(k, bk)
     j0 = 0 if col_tiles is None else col_tiles[0]
     grid = (mp // bm,
             kp // bk if col_tiles is None else col_tiles[1] - col_tiles[0])
     n_out = num_moduli if moduli_idx is None else len(moduli_idx)
+    mant_bits = 53 if is64 else 24
+    if mxu:
+        assert bm % 8 == 0, "sublane concat needs bm % 8 == 0"
+        idx = tuple(range(num_moduli)) if moduli_idx is None \
+            else tuple(moduli_idx)
+        q_max_static = max(
+            tables.threshold_accurate(num_moduli) - 1 - (mant_bits - 1), 0)
+        nb = (mant_bits + 1 + q_max_static + 7) // 8
+        wp, consts = _enc_mxu_consts(idx, nb, bm)
+
+    def body(fields, sft_v, w_v=None):
+        chunks, exp, sign, normal = fields
+        if mxu:
+            return _encode_tile_mxu(chunks, exp, sign, normal, sft_v, w_v,
+                                    num_moduli, mant_bits, idx, consts, nb)
+        return enc._encode_with_sft(chunks, exp, sign, normal, sft_v,
+                                    num_moduli, mant_bits, moduli_idx)
 
     def pad2(a):
         return jnp.pad(a, ((0, mp - m), (0, kp - k)))
@@ -500,25 +614,34 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
     if is64:
         inputs = (pad2(x.hi), pad2(x.lo), sft_p)
 
-        def kern(hi_ref, lo_ref, sft_ref, out_ref):
-            chunks, exp, sign, normal = enc._f64_fields(hi_ref[:], lo_ref[:])
-            out_ref[:] = enc._encode_with_sft(
-                chunks, exp, sign, normal, sft_ref[:], num_moduli, 53,
-                moduli_idx)
+        if mxu:
+            def kern(hi_ref, lo_ref, sft_ref, w_ref, out_ref):
+                out_ref[:] = body(enc._f64_fields(hi_ref[:], lo_ref[:]),
+                                  sft_ref[:], w_ref[:])
+        else:
+            def kern(hi_ref, lo_ref, sft_ref, out_ref):
+                out_ref[:] = body(enc._f64_fields(hi_ref[:], lo_ref[:]),
+                                  sft_ref[:])
     else:
         bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32),
                                             jnp.uint32)
         inputs = (pad2(bits), sft_p)
 
-        def kern(bits_ref, sft_ref, out_ref):
-            chunks, exp, sign, normal = enc._f32_fields(bits_ref[:])
-            out_ref[:] = enc._encode_with_sft(
-                chunks, exp, sign, normal, sft_ref[:], num_moduli, 24,
-                moduli_idx)
+        if mxu:
+            def kern(bits_ref, sft_ref, w_ref, out_ref):
+                out_ref[:] = body(enc._f32_fields(bits_ref[:]), sft_ref[:],
+                                  w_ref[:])
+        else:
+            def kern(bits_ref, sft_ref, out_ref):
+                out_ref[:] = body(enc._f32_fields(bits_ref[:]), sft_ref[:])
 
     data_spec = pl.BlockSpec((bm, bk), lambda i, j: (i, j + j0),
                              memory_space=pltpu.VMEM)
     in_specs = [data_spec] * (len(inputs) - 1) + [sft_spec]
+    if mxu:
+        in_specs = in_specs + [pl.BlockSpec(wp.shape, lambda i, j: (0, 0),
+                                            memory_space=pltpu.VMEM)]
+        inputs = inputs + (jnp.asarray(wp),)
     out = pl.pallas_call(
         kern,
         grid=grid,

@@ -404,3 +404,24 @@ def test_crt_mxu_consts_exact():
         got = sum(np.asarray(x[l]).astype(object) << (16 * l)
                   for l in range(nl))
         assert (got == want).all()
+
+
+@pytest.mark.parametrize("dtype", ["f64", "f32"])
+@pytest.mark.parametrize("axis", [1, 0])
+def test_encode_mxu_parity(dtype, axis):
+    """MXU-encode (byte-plane W'' contraction) vs the chunk-dot VPU body:
+    bit-identical int8 slices, both axes, both dtypes, incl. a chunked
+    moduli subrange."""
+    L = 14
+    x = _mk((88, 144), 2.0, seed=9)
+    X = f64_to_bits(x) if dtype == "f64" else jnp.asarray(x, jnp.float32)
+    sft = pk.fast_sft_pallas(X, L, axis=axis)
+    ref = pk.encode_slices_pallas(X, sft, L, axis=axis, mxu=False)
+    got = pk.encode_slices_pallas(X, sft, L, axis=axis, mxu=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    idx = (0, 5, 13)
+    ref_c = pk.encode_slices_pallas(X, sft, L, axis=axis, moduli_idx=idx,
+                                    mxu=False)
+    got_c = pk.encode_slices_pallas(X, sft, L, axis=axis, moduli_idx=idx,
+                                    mxu=True)
+    assert np.array_equal(np.asarray(ref_c), np.asarray(got_c))
