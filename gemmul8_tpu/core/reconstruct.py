@@ -98,7 +98,12 @@ def _mod_m_centered(x, num_moduli: int):
     neg = gt_half & ~ge_m                        # x in (M/2, M): value < 0
     g = lb.const_minus(m_limbs, x)               # M - x (magnitude there)
     mag = lb.select(ge_m, over, lb.select(neg, g, x))
-    return mag, neg
+    # mag <= M/2 < 2^(bits(M)-1): the accumulator-sized top limbs are
+    # provably zero — drop them so the rounding chain (msb scan, funnel
+    # shifts, sticky) runs on fewer limbs. M is never a power of two, so
+    # floor(M/2) fits exactly (bits(M)-1) bits.
+    n_mag = (mm.bit_length() - 1 + 15) // 16
+    return mag[:n_mag], neg
 
 
 def _const_limbs(v: int, n: int):
