@@ -489,62 +489,96 @@ def mxu_enc_default() -> bool:
 
 
 def _enc_mxu_consts(moduli_idx, nb: int, bm: int):
-    """(W'' ((L+1)*bm, nb*bm) int8, C per-modulus int tuple) for the
-    byte-plane residue contraction (see the block comment above)."""
+    """(W'' ((L+1)*bm, (nb+1)*bm) int8, C per-modulus int tuple) for the
+    byte-plane residue contraction.
+
+    Input planes are the nb bytes of the 8*nb-bit TWO'S COMPLEMENT of the
+    signed shifted value (sign folded into the planes), plus a neg plane
+    (0/1) whose weight cancels the 2^(8*nb) wraparound:
+        v ≡ sum_i b_i*2^(8i) - neg*2^(8*nb)  (mod m).
+    All planes centered by 128; the ones OUTPUT row yields
+    S = sum_i (b_i - 128) for the zero-point correction
+    C[j] = 128*sum_i wc[i,j] + 128^2*(nb+1)."""
     L = len(moduli_idx)
-    wc = np.zeros((L + 1, nb), np.int64)
+    npl = nb + 1
+    wc = np.zeros((L + 1, npl), np.int64)
     for jj, j in enumerate(moduli_idx):
         m = int(tables.MODULI[j])
         for i in range(nb):
             wc[jj, i] = pow(2, 8 * i, m) - 128
+        wc[jj, nb] = (m - pow(2, 8 * nb, m)) % m - 128   # neg-plane weight
     wc[L] = 1                    # ones row -> S = sum_i (b_i - 128)
     wp = np.kron(wc, np.eye(bm, dtype=np.int64)).astype(np.int8)
-    c = tuple(int(128 * wc[jj].sum() + 128 * 128 * nb) for jj in range(L))
+    c = tuple(int(128 * wc[jj].sum() + 128 * 128 * npl) for jj in range(L))
     return wp, c
 
 
 def _encode_tile_mxu(chunks, exp, sign, normal, sft, w, num_moduli: int,
                      mant_bits: int, moduli_idx, consts, nb: int):
     """MXU counterpart of enc._encode_with_sft for one (bm, bk) tile:
-    identical shifted-word construction, residue dots on the MXU,
-    identical Barrett/center/sign tail. Bit-identical residues."""
+    identical shifted-word construction, then two's-complement byte
+    planes (sign folded in) contracted on the MXU, then a ZERO-FIXUP
+    round-nearest Barrett straight to the centered residue. Residues are
+    bit-identical to the VPU body (the centered representative mod an odd
+    m is unique; exact integer algebra throughout).
+
+    Zero-fixup proof (odd m <= 255, raw < 2^20):
+      raw = v mod' m-ish accumulator <= (nb+1)*255*(m-1) < 2^20, so
+      f32(raw) is EXACT. With rinv = fl(1/m) and c = 0.5 - 2^-10:
+      t = raw/m <= (nb+1)*255 < 2^12, so the product and sum roundings
+      total < 5.1e-4 < 2^-10, and 2^-10 + 5.1e-4 < 1/(2m) (>= 1/510).
+      t + 0.5 is never closer than 1/(2m) to an integer (no ties for odd
+      m), hence floor(fl(fl(raw*rinv) + c)) == round(raw/m) ALWAYS:
+      r = raw - q*m lands centered in [-(m-1)/2, (m-1)/2] with no fixups.
+    """
     mant_shift = 1075 if mant_bits == 53 else 150
     q = exp - _I32(mant_shift) + sft
     t_a = tables.threshold_accurate(num_moduli)
     q_max_static = max(t_a - 1 - (mant_bits - 1), 0)
     words = enc._shifted_value_words(chunks, q, mant_bits, q_max_static)
     bm, bk = q.shape
-    # centered byte planes along sublanes: (nb*bm, bk) int8. The int8 cast
-    # truncates to the low byte, so no & 0xFF is needed; ^ 0x80 is the
-    # (b - 128) bit pattern.
+    neg = (sign == 1)
+    # two's complement of the magnitude words where neg (carry ripples
+    # only while lower words are zero); the low 8*nb bits equal
+    # (2^(8*nb) - |v|) mod 2^(8*nb) regardless of word count
+    _U = jnp.uint32
+    nwords = []
+    zlow = None
+    for wv in words:
+        if zlow is None:
+            nwords.append(~wv + _U(1))
+            zlow = wv == 0
+        else:
+            nwords.append(~wv + zlow.astype(_U))
+            zlow = zlow & (wv == 0)
+    words = [jnp.where(neg, nv, wv) for nv, wv in zip(nwords, words)]
+    # centered byte planes along sublanes: ((nb+1)*bm, bk) int8. The int8
+    # cast truncates to the low byte, so no & 0xFF is needed; ^ 0x80 is
+    # the (b - 128) bit pattern. Last plane: neg as 0/1.
     planes = []
     for i in range(nb):
         w32 = words[i // 4]
         b = (w32 >> jnp.uint32(8 * (i % 4))) if i % 4 else w32
         planes.append((b ^ jnp.uint32(0x80)).astype(jnp.int8))
+    planes.append((neg.astype(_U) ^ jnp.uint32(0x80)).astype(jnp.int8))
     rc2 = jnp.concatenate(planes, axis=0)
     y = jax.lax.dot_general(w, rc2, (((1,), (0,)), ((), ())),
                             preferred_element_type=_I32)
     L = len(moduli_idx)
     y3 = y.reshape(L + 1, bm, bk)
     s128 = y3[L] * _I32(128)
-    neg = (sign == 1)
     out = []
     for jj, j in enumerate(moduli_idx):
         m = int(tables.MODULI[j])
-        raw = y3[jj] + s128 + _I32(consts[jj])     # exact sum_i b_i*2^8i mod-m
+        raw = y3[jj] + s128 + _I32(consts[jj])   # exact, ≡ v (mod m), >= 0
         if m == 256:
-            # same two's-complement wraparound as _residues_from_chunks:
-            # raw IS the value's low byte (2^8i mod 256 == 0 for i > 0)
-            sv = jnp.where(neg, (_I32(256) - raw) & _I32(0xFF), raw)
-            rc = (sv ^ _I32(0x80)) - _I32(0x80)
+            # two's-complement wraparound: raw IS the signed value's low
+            # byte (2^8i mod 256 == 0 for i >= 1, neg weight == 0)
+            rc = (raw ^ _I32(0x80)) - _I32(0x80)
         else:
-            # raw <= nb*255*(m-1) < 2^20: comfortably inside the 26-bit
-            # single-fixup Barrett contract
-            base = mod_u26(raw, m, 26)
-            rc = base - jnp.where(base >= _I32((m + 1) // 2), _I32(m),
-                                  _I32(0))
-            rc = jnp.where(neg, -rc, rc)
+            qf = (raw.astype(jnp.float32) * jnp.float32(1.0 / m)
+                  + jnp.float32(0.5 - 2.0 ** -10)).astype(_I32)
+            rc = raw - qf * _I32(m)              # centered, no fixups
         rc = jnp.where(normal, rc, _I32(0))
         out.append(rc.astype(jnp.int8))
     return jnp.stack(out, axis=0)

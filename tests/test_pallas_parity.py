@@ -425,3 +425,22 @@ def test_encode_mxu_parity(dtype, axis):
     got_c = pk.encode_slices_pallas(X, sft, L, axis=axis, moduli_idx=idx,
                                     mxu=True)
     assert np.array_equal(np.asarray(ref_c), np.asarray(got_c))
+
+
+def test_encode_mxu_zero_fixup_barrett_exhaustive():
+    """The MXU encode's round-nearest Barrett claims q == round(raw/m)
+    with ZERO fixups for every reachable accumulator value. Check it
+    exhaustively in f32 emulation for every odd modulus and every
+    raw in [0, (nb_max+1)*255*(m-1)] (the static bound; nb_max = 10)."""
+    from gemmul8_tpu import tables
+
+    nb_max = 10
+    for m in [int(v) for v in tables.MODULI if int(v) != 256]:
+        hi = (nb_max + 1) * 255 * (m - 1)
+        raw = np.arange(hi + 1, dtype=np.int64)
+        qf = (raw.astype(np.float32) * np.float32(1.0 / m)
+              + np.float32(0.5 - 2.0 ** -10)).astype(np.int64)
+        want = (raw + m // 2) // m          # round(raw/m), no ties (odd m)
+        assert np.array_equal(qf, want), f"m={m}"
+        r = raw - qf * m
+        assert r.min() >= -(m - 1) // 2 and r.max() <= (m - 1) // 2
