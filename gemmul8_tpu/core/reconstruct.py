@@ -60,8 +60,11 @@ def accumulate_weighted(r: jax.Array, num_moduli: int, moduli_idx=None,
 
 
 def _mod_m_centered(x, num_moduli: int):
-    """Reduce canonical limbs x (0 <= x < 255*L*M) mod M and center.
+    """Reduce limbs x (0 <= x < 255*L*M) mod M and center.
 
+    x may be CANONICAL (16-bit limbs) or REDUNDANT with each nonnegative
+    limb < 2^29 (the MXU digit-assembly path skips its carry pass) — the
+    quotient budget below covers both.
     Returns (mag_limbs, neg) with value = (-1)^neg * mag, mag <= M/2."""
     nl = len(x)
     mm = tables.big_m(num_moduli)
@@ -82,15 +85,21 @@ def _mod_m_centered(x, num_moduli: int):
     t_est = jnp.floor(xf / jnp.float32(mf) * (1.0 - 2.0 ** -18)).astype(_I32)
     t_est = jnp.maximum(t_est, 0)
     x, _ = lb.scale_const_sub(x, t_est, m_limbs)
-    # Undershoot bound: t - t_est <= t*(2*2^-16 + 2^-18 + 2^-22) + 1
-    # < 0.15 + 1 < 2 (xf limb truncation and mf granularity are each
-    # <= 2^-16 relative, t <= 255*num_moduli < 2^12, plus the floor).
-    # After subtracting t_est*M the remainder is < 2.2*M: ONE borrow-
-    # select pass brings it below 1.2*M, and the centering handles the
-    # [M, 1.2M) overhang directly (x - M is a small POSITIVE value
-    # there) — one full subtraction pass cheaper than reduce-then-center.
+    # Undershoot bound (canonical x): t - t_est <= t*(2*2^-16 + 2^-18 +
+    # 2^-22) + 1 < 0.15 + 1 < 2 (xf limb truncation and mf granularity
+    # are each <= 2^-16 relative, t <= 255*num_moduli < 2^12, plus the
+    # floor). Redundant x (limbs < 2^29): xf additionally drops the
+    # sub-(top-1) limbs' excess mass <= 2^29 * 2^(16*(top-2)) * 1.01
+    # <= M/8 (M >= 2^(16*top)), so t - t_est < 0.15 + 0.13 + 1 < 1.5.
+    # After subtracting t_est*M the remainder is < 2.5*M: ONE borrow-
+    # select pass brings it below 1.5*M, and the centering handles the
+    # [M, 1.5M) overhang directly (x - M is then in [0, M/2): a positive
+    # magnitude with neg unset, exactly right) — one full subtraction
+    # pass cheaper than reduce-then-center. (scale_const_sub's masking
+    # also canonicalizes redundant input limbs as it goes; its
+    # intermediates stay < 2^30.)
     cand, borrow = lb.sub_const(x, m_limbs)
-    x = lb.select(borrow == 0, cand, x)          # x in [0, 1.2*M)
+    x = lb.select(borrow == 0, cand, x)          # x in [0, 1.5*M)
     half_limbs = [int(v) for v in _const_limbs(mm // 2, nl)]
     over, borrow2 = lb.sub_const(x, m_limbs)     # x - M where x >= M
     ge_m = borrow2 == 0

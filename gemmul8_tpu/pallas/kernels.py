@@ -551,6 +551,10 @@ def _encode_tile_mxu(chunks, exp, sign, normal, sft, w, num_moduli: int,
         else:
             nwords.append(~wv + zlow.astype(_U))
             zlow = zlow & (wv == 0)
+    # zlow now == "all words zero": a negative input whose truncated
+    # magnitude is 0 (e.g. tiny values truncated away by the shift) has
+    # NO two's-complement wraparound — its neg plane must stay 0
+    neg_eff = neg & ~zlow
     words = [jnp.where(neg, nv, wv) for nv, wv in zip(nwords, words)]
     # centered byte planes along sublanes: ((nb+1)*bm, bk) int8. The int8
     # cast truncates to the low byte, so no & 0xFF is needed; ^ 0x80 is
@@ -560,7 +564,7 @@ def _encode_tile_mxu(chunks, exp, sign, normal, sft, w, num_moduli: int,
         w32 = words[i // 4]
         b = (w32 >> jnp.uint32(8 * (i % 4))) if i % 4 else w32
         planes.append((b ^ jnp.uint32(0x80)).astype(jnp.int8))
-    planes.append((neg.astype(_U) ^ jnp.uint32(0x80)).astype(jnp.int8))
+    planes.append((neg_eff.astype(_U) ^ jnp.uint32(0x80)).astype(jnp.int8))
     rc2 = jnp.concatenate(planes, axis=0)
     y = jax.lax.dot_general(w, rc2, (((1,), (0,)), ((), ())),
                             preferred_element_type=_I32)
@@ -751,10 +755,13 @@ def _crt_accumulate_mxu(rc2, w, num_moduli: int, cl, bm: int, bn: int):
                             preferred_element_type=jnp.int32)
     y3 = y.reshape(nd + 1, bm, bn)
     t = y3[nd] * _I32(32896)        # 128*(1+256)*S, shared by every limb
-    # |Y[d]| <= L*128^2, X parts < 2^28, t < 2^26: limb sums fit int32
-    x = [y3[2 * l] + (y3[2 * l + 1] << 8) + t + _I32(cl[l])
-         for l in range(nl)]
-    return lb.carry_propagate(x)
+    # |Y[d]| <= L*128^2, X parts < 2^28, t < 2^27, consts < 2^27: limb
+    # sums fit int32 (< 2^29 each). Returned REDUNDANT (no carry pass):
+    # rec._mod_m_centered's quotient estimate tolerates limbs < 2^29
+    # (see its budget comment) and its scale_const_sub pass canonicalizes
+    # anyway — skipping carry_propagate here saves a full limb pass.
+    return [y3[2 * l] + (y3[2 * l + 1] << 8) + t + _I32(cl[l])
+            for l in range(nl)]
 
 
 def _centered_residues(c32, num_moduli: int):

@@ -444,3 +444,19 @@ def test_encode_mxu_zero_fixup_barrett_exhaustive():
         assert np.array_equal(qf, want), f"m={m}"
         r = raw - qf * m
         assert r.min() >= -(m - 1) // 2 and r.max() <= (m - 1) // 2
+
+
+def test_encode_mxu_tiny_negative_truncation():
+    """Negative values whose truncated shifted magnitude is exactly 0
+    must encode to all-zero residues: the sign-folded MXU path's neg
+    plane has no two's-complement wraparound there (regression: the neg
+    plane once fired on the sign bit alone, injecting -2^(8nb) mod m)."""
+    L = 14
+    vals = np.zeros((16, 128))
+    vals[0, :6] = [-8.4e-06, -2.4e-05, -1e-300, -4.9e-324, 1.0, -1.0]
+    vals[1, :] = np.linspace(1.0, 2.0, 128)      # keeps the row shift sane
+    X = f64_to_bits(vals)
+    sft = pk.fast_sft_pallas(X, L, axis=1)
+    ref = pk.encode_slices_pallas(X, sft, L, axis=1, mxu=False)
+    got = pk.encode_slices_pallas(X, sft, L, axis=1, mxu=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
