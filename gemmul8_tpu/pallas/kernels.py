@@ -76,7 +76,10 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
     else:
         rows, kdim = d1, d0
     if block is None:  # tuned on v5e at 8192^2 (tune_kernels.py)
-        block = (512, 1024) if axis == 1 else (256, 2048)
+        # NOTE: the reduction-chunk width is part of the shift's bit
+        # contract (block-wise online merge) — fast_encode_fused_pallas's
+        # stat_chunk must match it per axis
+        block = (512, 2048)
     br, bk = block
     t_f = tables.threshold_fast(num_moduli)
     rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
@@ -215,7 +218,7 @@ def fast_encode_fused_pallas(x, num_moduli: int, axis: int, moduli_idx=None,
         block_rows = 64 if axis == 1 else 128
     br = min(block_rows, rows)
     # mirror the fast_sft_pallas merge chunking exactly (bit-parity)
-    stat_chunk = 1024 if axis == 1 else 2048
+    stat_chunk = 2048
     rp, kp = _ceil_to(rows, br), _ceil_to(kdim, stat_chunk)
     grid = (rp // br,)
     n_out = num_moduli if moduli_idx is None else len(moduli_idx)
@@ -328,7 +331,8 @@ def emax_pallas(x, axis: int, block=None):
     d0, d1 = x.shape
     rows, kdim = (d0, d1) if axis == 1 else (d1, d0)
     if block is None:
-        block = (512, 1024) if axis == 1 else (256, 2048)
+        block = (512, 2048)   # max merge is order-independent: block
+        # choice is pure tuning here (unlike fast_sft_pallas)
     br, bk = block
     rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
     grid = (rp // br, kp // bk)

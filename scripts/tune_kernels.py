@@ -67,7 +67,7 @@ def main():
     sft = pk.fast_sft_pallas(A, L, axis=1)
 
     if which in ("all", "stats"):
-        for blk in [(512, 1024), (256, 2048)]:
+        for blk in [(512, 2048), (512, 1024), (256, 4096)]:
             try:
                 f = jax.jit(lambda x, b=blk: pk.fast_sft_pallas(
                     x, L, axis=1, block=b))
