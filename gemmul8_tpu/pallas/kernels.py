@@ -29,7 +29,7 @@ from .. import tables
 from ..core import encode as enc
 from ..core import limbs as lb
 from ..core import reconstruct as rec
-from ..core.modmath import mod_i32, mod_u26
+from ..core.modmath import mod_i32
 from ..types import F64Bits
 
 _I32 = jnp.int32

@@ -15,9 +15,9 @@ Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
         "f32p3" (pure-f32 SGEMM path riding the mode-3 pipeline),
         "mdp3" (mixed FP64 x FP32 -> FP64 riding the mode-3 pipeline),
         "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE / FUSED_RECONSTRUCT /
-        MM_PIPELINE env-gated branches), "vpucrt" (GEMMUL8_MXU_CRT=0:
-        the VPU CRT-accumulate reconstruct fallback; mode 0 itself
-        covers the default MXU-CRT reconstruct).
+        MM_PIPELINE env-gated branches), "vpucrt" / "vpuenc"
+        (GEMMUL8_MXU_CRT=0 / GEMMUL8_MXU_ENC=0: the VPU reconstruct /
+        encode fallbacks; mode 0 itself covers the default MXU paths).
         Default: 0 1 3
 
 Each config lowers in ~1 s (plus the jax import); the pytest wrapper
@@ -45,6 +45,8 @@ def check(n: int, mode: str) -> int:
         os.environ[_ENV_GATES[mode]] = "1"
     if mode == "vpucrt":
         os.environ["GEMMUL8_MXU_CRT"] = "0"
+    if mode == "vpuenc":
+        os.environ["GEMMUL8_MXU_ENC"] = "0"
     # jax.export's jaxpr traversal recurses deeply on the unrolled
     # 14-moduli graph; the default 1000-frame limit is not enough
     sys.setrecursionlimit(20000)

@@ -25,21 +25,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _wp(L, bm, nd):
-    import numpy as np
-
+def _wp(L, bm):
+    """(W', nd) via the production constant builder — the probe must time
+    exactly the matrix the kernel uses (kernels._crt_mxu_consts)."""
     from gemmul8_tpu import tables
+    from gemmul8_tpu.pallas.kernels import _crt_mxu_consts
 
-    w16 = np.asarray(tables.crt_weight_limbs(L), dtype=np.int64)
-    nl = w16.shape[1]
-    assert nd == 2 * nl
-    wb = np.zeros((nd + 1, L), np.int64)
-    for l in range(nl):
-        wb[2 * l] = w16[:, l] & 0xFF
-        wb[2 * l + 1] = (w16[:, l] >> 8) & 0xFF
-    wc = wb - 128
-    wc[nd] = 1
-    return np.kron(wc, np.eye(bm, dtype=np.int64)).astype(np.int8)
+    nd = 2 * tables.num_limbs(L)
+    return _crt_mxu_consts(L, bm)[0], nd
 
 
 def _build(L, bm, bn, nd, variant, interpret):
@@ -130,11 +123,12 @@ def lower():
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    L, nd = 14, 16
+    L = 14
     for variant in ("full", "nodot", "dotonly", "noxor"):
         for bm, bn in ((8, 512), (16, 256), (32, 256)):
+            wp, nd = _wp(L, bm)
             f = _build(L, bm, bn, nd, variant, interpret=False)
-            w = jnp.asarray(_wp(L, bm, nd))
+            w = jnp.asarray(wp)
             if variant == "dotonly":
                 r = jnp.zeros((128 // bm, L * bm, 512), jnp.int8)
             elif variant == "noxor":
@@ -160,9 +154,9 @@ def time_on_chip(variant, bm, bn, L, m, n):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     require_tpu()
-    nd = 16
+    wp, nd = _wp(L, bm)
     f = _build(L, bm, bn, nd, variant, interpret=False)
-    w = jnp.asarray(_wp(L, bm, nd))
+    w = jnp.asarray(wp)
     rng = np.random.default_rng(0)
     if variant == "dotonly":
         r = jnp.asarray(rng.integers(-128, 128, (m // bm, L * bm, n),
@@ -171,23 +165,27 @@ def time_on_chip(variant, bm, bn, L, m, n):
         r = jnp.asarray(rng.integers(-128, 128, (L, m, n), dtype=np.int8))
     else:
         r = jnp.asarray(rng.integers(0, 256, (L, m, n), dtype=np.uint8))
-    jf = jax.jit(f)
 
-    def syncv(o):
-        o.block_until_ready()
-        np.asarray(jax.device_get(o.ravel()[0]))
+    # chained-enqueue protocol (CLAUDE.md): each iteration's W depends on
+    # the previous checksum (a zero-valued but data-dependent nudge), so
+    # no layer can collapse or reorder the chain; one final sync, minus a
+    # pre-warmed sync round trip
+    def step(w_, r_, s_prev):
+        w2 = w_.at[0, 0].add((s_prev & jnp.int32(0)).astype(jnp.int8))
+        o = f(w2, r_)
+        return jnp.sum(o[::64, ::64]), o
 
-    o = jf(w, r)
-    syncv(o)
+    jf = jax.jit(step)
+    s, o = jf(w, r, jnp.int32(0))
+    int(s)
     t0 = time.perf_counter()
-    for _ in range(3):
-        syncv(o)
-    rtt = (time.perf_counter() - t0) / 3
+    int(s)
+    rtt = time.perf_counter() - t0
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        o = jf(w, r)
-    syncv(o)
+        s, o = jf(w, r, s)
+    int(s)
     dt = (time.perf_counter() - t0 - rtt) / iters
     print(f"{variant} bm={bm} bn={bn}: {dt*1e3:.2f} ms")
 

@@ -81,14 +81,25 @@ def main():
                 print(f"stats {blk}: FAIL {str(e)[:80]}", flush=True)
 
     if which in ("all", "encode"):
-        for blk in [(64, 256), (64, 512), (32, 256)]:
+        # MXU-path candidates (minimal sublanes, wide second dim) — the
+        # default path since GEMMUL8_MXU_ENC landed; the trailing rows
+        # tune the VPU fallback (mxu=False) at its own best shapes
+        for blk in [(8, 4096), (8, 2048), (16, 2048), (8, 8192)]:
             try:
                 f = jax.jit(lambda x, s, b=blk: pk.encode_slices_pallas(
                     x, s, L, axis=1, block=b))
                 t, _ = timeit(f, A, sft)
-                print(f"encode {blk}: {t*1e3:7.2f} ms", flush=True)
+                print(f"encode mxu {blk}: {t*1e3:7.2f} ms", flush=True)
             except Exception as e:
-                print(f"encode {blk}: FAIL {str(e)[:80]}", flush=True)
+                print(f"encode mxu {blk}: FAIL {str(e)[:80]}", flush=True)
+        for blk in [(64, 512), (64, 256), (32, 256)]:
+            try:
+                f = jax.jit(lambda x, s, b=blk: pk.encode_slices_pallas(
+                    x, s, L, axis=1, block=b, mxu=False))
+                t, _ = timeit(f, A, sft)
+                print(f"encode vpu {blk}: {t*1e3:7.2f} ms", flush=True)
+            except Exception as e:
+                print(f"encode vpu {blk}: FAIL {str(e)[:80]}", flush=True)
 
     if which in ("all", "fusedenc"):
         for br in [32, 64, 128, 256]:

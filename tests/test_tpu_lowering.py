@@ -24,7 +24,7 @@ _SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir,
                                     (512, "f32p3"), (512, "mdp3"),
                                     (512, "fe"),
                                     (512, "fr"), (512, "mp"),
-                                    (512, "vpucrt")])
+                                    (512, "vpucrt"), (512, "vpuenc")])
 def test_gemm_lowers_for_tpu(n, mode):
     r = subprocess.run([sys.executable, _SCRIPT, str(n), mode],
                        capture_output=True, text=True, timeout=600)
