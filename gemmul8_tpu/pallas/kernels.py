@@ -811,10 +811,14 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
     return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind)
 
 
-def _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind):
+def _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind, e_fix=None):
     """mod-M centering + inverse scaling + IEEE rounding from canonical
-    weighted-sum limbs (the tail every reconstruct body shares)."""
-    e_fix = -(sft_a + sft_b)
+    weighted-sum limbs (the tail every reconstruct body shares).
+    e_fix overrides the -(sft_a + sft_b) exponent (the column-strip tail
+    passes a pre-broadcast slice: Mosaic rejects lane-offset slices of a
+    (1, bn) operand inside a broadcast add)."""
+    if e_fix is None:
+        e_fix = -(sft_a + sft_b)
     mag, negf = rec._mod_m_centered(x, num_moduli)
     if out_kind == "f64":
         eb, mant = rec._round_to_float(mag, negf, e_fix, 53)
@@ -835,7 +839,7 @@ REC_MXU_BLOCK = (8, 4096)
 
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
                        block=None, input_kind: str = "residues",
-                       mxu: bool | None = None):
+                       mxu: bool | None = None, tail_chunk: int = 0):
     """Fused mod-reduce + CRT + inverse scaling. c32: (L, m, n) int32 slice
     products / uint8 residues, or (num_limbs, m, n) canonical limbs when
     input_kind="limbs"; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32.
@@ -843,7 +847,13 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
     mxu (default: GEMMUL8_MXU_CRT env, on) routes the CRT weighted
     accumulation through an int8 MXU contraction (see _crt_mxu_consts) —
     bit-identical output, ~1/3 the VPU ops. Only applies to the
-    "residues" input kind (the "limbs" input already skipped it)."""
+    "residues" input kind (the "limbs" input already skipped it).
+
+    tail_chunk > 0 (MXU path only) runs the mod-M + rounding tail in
+    column strips of that width inside the kernel body: the tail holds
+    ~20 live tile-sized buffers, which spill to VMEM at full block width;
+    strips sized to the vector register file keep the whole chain
+    register-resident (same math, bit-identical)."""
     L, m, n = c32.shape
     if mxu is None:
         mxu = mxu_crt_default()
@@ -853,6 +863,8 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
     bm, bn = block
     # shrink for small problems (the defaults target the headline sizes)
     bm, bn = min(bm, _ceil_to(m, 8)), min(bn, _ceil_to(n, 128))
+    if tail_chunk and (not mxu or bn % tail_chunk):
+        tail_chunk = 0
     if mxu:
         assert bm % 8 == 0, "sublane collapse needs bm % 8 == 0"
         wp, cl = _crt_mxu_consts(num_moduli, bm)
@@ -884,8 +896,24 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
             return _finalize_tile(x, sa, sb, num_moduli, out_kind)
         return _rec_body(c, sa, sb, num_moduli, out_kind, input_kind)
 
+    def chunked_write(c, sa, sb, w, out_refs):
+        # per-strip ref writes: the tail chain stays register-resident
+        rc2 = _centered_residues(c, num_moduli)
+        x = _crt_accumulate_mxu(rc2, w, num_moduli, cl, bm, bn)
+        ef = -(sa + sb)     # broadcast once; strips slice the 2D result
+        for c0 in range(0, bn, tail_chunk):
+            xs = [xl[:, c0:c0 + tail_chunk] for xl in x]
+            outs = _finalize_tile(xs, sa, sb, num_moduli, out_kind,
+                                  e_fix=ef[:, c0:c0 + tail_chunk])
+            for ref, val in zip(out_refs, outs):
+                ref[:, c0:c0 + tail_chunk] = val
+
     if out_kind == "f64":
-        if mxu:
+        if mxu and tail_chunk:
+            def kern(w_ref, c_ref, sa_ref, sb_ref, hi_ref, lo_ref):
+                chunked_write(c_ref[:], sa_ref[:], sb_ref[:], w_ref[:],
+                              (hi_ref, lo_ref))
+        elif mxu:
             def kern(w_ref, c_ref, sa_ref, sb_ref, hi_ref, lo_ref):
                 hi, lo = body(c_ref[:], sa_ref[:], sb_ref[:], w_ref[:])
                 hi_ref[:] = hi
@@ -907,7 +935,11 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
         )(*inputs)
         return F64Bits(hi[:m, :n], lo[:m, :n])
 
-    if mxu:
+    if mxu and tail_chunk:
+        def kern32(w_ref, c_ref, sa_ref, sb_ref, o_ref):
+            chunked_write(c_ref[:], sa_ref[:], sb_ref[:], w_ref[:],
+                          (o_ref,))
+    elif mxu:
         def kern32(w_ref, c_ref, sa_ref, sb_ref, o_ref):
             (o_ref[:],) = body(c_ref[:], sa_ref[:], sb_ref[:], w_ref[:])
     else:

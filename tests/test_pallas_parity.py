@@ -368,6 +368,10 @@ def test_reconstruct_mxu_crt_parity(out_kind):
     got8 = pk.reconstruct_pallas(r_u8, sft_a, sft_b, L, out_kind,
                                  block=(8, 128), mxu=True)
     cmp(ref, got8)
+    # column-strip tail (register-resident finalize): same math
+    gotc = pk.reconstruct_pallas(r_u8, sft_a, sft_b, L, out_kind,
+                                 block=(16, 64), mxu=True, tail_chunk=32)
+    cmp(ref, gotc)
     # int32 raw products: Barrett-reduce first, then the MXU contraction
     raw = (r_u8.astype(jnp.int32)
            + jnp.asarray(np.array(moduli, np.int32))[:, None, None] * 977)
