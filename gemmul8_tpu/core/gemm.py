@@ -178,12 +178,16 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                 # as the measured record (PERF_NOTES.md).
                 return mk.matmul_reconstruct_pallas(
                     a8, b8, sft_a, sft_b, num_moduli, out_dtype)
-            # uint8-residue epilogue + separate reconstruct (faster than
-            # the CRT-limb matmul variant whose epilogue cannot hide —
-            # 15.7 vs 14.0 TFLOP/s at 8192^3, see matmul_crt_pallas)
-            r8 = pm.matmul_mod_u8(a8, b8, num_moduli)
+            # residue epilogue + separate reconstruct (faster than the
+            # CRT-limb matmul variant whose epilogue cannot hide — 15.7
+            # vs 14.0 TFLOP/s at 8192^3, see matmul_crt_pallas). With
+            # the MXU-CRT consumer the epilogue centers the residues to
+            # int8 in place (free: the epilogue is fully hidden), so the
+            # reconstruct contraction skips its xor+bitcast pass.
+            ctr = pk.mxu_crt_default()
+            r8 = pm.matmul_mod_u8(a8, b8, num_moduli, centered=ctr)
             return pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
-                                         out_dtype)
+                                         out_dtype, mxu=ctr)
         a8 = _encode_idx(a, sft_a, num_moduli, None)
         b8 = _encode_idx(b, sft_b, num_moduli, None)
         c32 = sg.slice_products(a8, b8)
@@ -269,9 +273,10 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                     sfts=(sft_a, sft_b), a8=a8))
                 continue
             b8 = pk.encode_slices_pallas(bp, sft_b, num_moduli, axis=0)
-            r8 = pm.matmul_mod_u8(a8, b8, num_moduli)
+            ctr = pk.mxu_crt_default()
+            r8 = pm.matmul_mod_u8(a8, b8, num_moduli, centered=ctr)
             outs.append(pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
-                                              out_dtype))
+                                              out_dtype, mxu=ctr))
         if out_dtype == "f64":
             return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
                            jnp.concatenate([o.lo for o in outs], axis=1))

@@ -770,9 +770,13 @@ def _crt_accumulate_mxu(rc2, w, num_moduli: int, cl, bm: int, bn: int):
 
 def _centered_residues(c32, num_moduli: int):
     """(L*bm, bn) int8 centered canonical residues from a (L, bm, bn)
-    block of uint8 canonical residues (bit trick) or int32 raw slice
-    products (Barrett-reduce first, as the VPU body does)."""
+    block of int8 pre-centered residues (the matmul's centered=True
+    epilogue: pure reshape), uint8 canonical residues (bit trick), or
+    int32 raw slice products (Barrett-reduce first, as the VPU body
+    does)."""
     L, bm, bn = c32.shape
+    if c32.dtype == jnp.int8:
+        return c32.reshape(L * bm, bn)
     if c32.dtype == jnp.uint8:
         rc = jax.lax.bitcast_convert_type(c32 ^ jnp.uint8(0x80), jnp.int8)
         return rc.reshape(L * bm, bn)
@@ -796,7 +800,10 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
         # fused matmul epilogue (matmul_crt_pallas) — skip accumulation
         x = [c32[i] for i in range(c32.shape[0])]
         return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind)
-    if c32.dtype == jnp.uint8:
+    if c32.dtype == jnp.int8:
+        # pre-centered residues (matmul centered=True epilogue)
+        r = [c32[j].astype(_I32) + _I32(128) for j in range(num_moduli)]
+    elif c32.dtype == jnp.uint8:
         # canonical residues from the fused-matmul epilogue
         r = [c32[j].astype(_I32) for j in range(num_moduli)]
     else:

@@ -94,10 +94,16 @@ def barrett_reduce(x, mj, rj, bias, fix_steps):
 
 def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
                          moduli_idx=None,
-                         block=(1024, 512, 8192)) -> jax.Array:
+                         block=(1024, 512, 8192),
+                         centered: bool = False) -> jax.Array:
     """Batched int8 matmul with the Barrett mod-reduce fused into the
     epilogue: emits (L, m, n) uint8 canonical residues (1 byte/elem HBM
-    write instead of 4)."""
+    write instead of 4).
+
+    centered=True emits (r - 128) int8 instead — the exact bit pattern
+    the MXU-CRT reconstruct's contraction consumes, produced for free
+    inside the (fully hidden) Barrett epilogue so the consumer skips its
+    per-residue xor+bitcast pass."""
     L, m, k = a8.shape
     _, _, n = b8.shape
     if moduli_idx is None:
@@ -132,8 +138,12 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
         def _():
             # modulus 256: the Barrett path handles it too (exact), but the
             # canonical residue may be 128..255 — uint8 output holds it.
-            o_ref[0] = barrett_reduce(acc_ref[:], mods_ref[l], recips_ref[l],
-                                      bias, fix_steps).astype(jnp.uint8)
+            r = barrett_reduce(acc_ref[:], mods_ref[l], recips_ref[l],
+                               bias, fix_steps)
+            if centered:
+                o_ref[0] = (r - _I32(128)).astype(jnp.int8)
+            else:
+                o_ref[0] = r.astype(jnp.uint8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -154,7 +164,8 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, mp, np_), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((L, mp, np_),
+                                       jnp.int8 if centered else jnp.uint8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -273,7 +284,7 @@ def matmul_mod_u8_pipelined(a8: jax.Array, b8: jax.Array, num_moduli: int,
 
 
 def matmul_mod_u8(a8: jax.Array, b8: jax.Array, num_moduli: int,
-                  moduli_idx=None) -> jax.Array:
+                  moduli_idx=None, centered: bool = False) -> jax.Array:
     """Dispatch: the epilogue-pipelined kernel (opt-in, measurement
     pending — the dynamic-ping-pong variant measured 48.4 vs 43.2 ms at
     8192^3/14, see PERF_NOTES.md) or the tuned k-tiled kernel."""
@@ -282,12 +293,14 @@ def matmul_mod_u8(a8: jax.Array, b8: jax.Array, num_moduli: int,
     _, m, k = a8.shape
     n = b8.shape[2]
     bm, bn, bk = 1024, 512, 8192
-    if (os.environ.get("GEMMUL8_MM_PIPELINE") == "1" and k <= bk
+    if (not centered
+            and os.environ.get("GEMMUL8_MM_PIPELINE") == "1" and k <= bk
             and (min(bm, _ceil_to(m, 128)) + min(bn, _ceil_to(n, 128)))
             * _ceil_to(k, 128) <= 24 * 1024 * 1024):
         return matmul_mod_u8_pipelined(a8, b8, num_moduli, moduli_idx,
                                        block=(bm, bn))
-    return matmul_mod_u8_pallas(a8, b8, num_moduli, moduli_idx)
+    return matmul_mod_u8_pallas(a8, b8, num_moduli, moduli_idx,
+                                centered=centered)
 
 
 def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,

@@ -464,3 +464,28 @@ def test_encode_mxu_tiny_negative_truncation():
     ref = pk.encode_slices_pallas(X, sft, L, axis=1, mxu=False)
     got = pk.encode_slices_pallas(X, sft, L, axis=1, mxu=True)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_matmul_centered_residues_parity():
+    """centered=True emits exactly (r - 128) int8, and the reconstruct
+    consumes it bit-identically to the uint8 path (the default wiring
+    when the MXU-CRT reconstruct is on)."""
+    L = 14
+    rng = np.random.default_rng(11)
+    a8 = jnp.asarray(rng.integers(-128, 128, (L, 72, 168), dtype=np.int8))
+    b8 = jnp.asarray(rng.integers(-128, 128, (L, 168, 88), dtype=np.int8))
+    r_u8 = pm.matmul_mod_u8_pallas(a8, b8, L, block=(128, 128, 128))
+    r_i8 = pm.matmul_mod_u8_pallas(a8, b8, L, block=(128, 128, 128),
+                                   centered=True)
+    assert r_i8.dtype == jnp.int8
+    assert np.array_equal(np.asarray(r_u8).astype(np.int32) - 128,
+                          np.asarray(r_i8).astype(np.int32))
+    sft_a = jnp.asarray(rng.integers(-30, 30, (72, 1)).astype(np.int32))
+    sft_b = jnp.asarray(rng.integers(-30, 30, (1, 88)).astype(np.int32))
+    for mxu in (True, False):
+        ref = pk.reconstruct_pallas(r_u8, sft_a, sft_b, L, "f64",
+                                    block=(8, 88), mxu=mxu)
+        got = pk.reconstruct_pallas(r_i8, sft_a, sft_b, L, "f64",
+                                    block=(8, 88), mxu=mxu)
+        assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+        assert np.array_equal(np.asarray(ref.lo), np.asarray(got.lo))
