@@ -263,8 +263,10 @@ def _gemm_batched_complex(a, b, num_moduli, fastmode, out_dtype,
         if jax.default_backend() == "cpu":
             return jax.lax.complex(ore, oim)
         # complex64 device arrays are unsupported on some TPU runtimes:
-        # assemble on host (same contract as gemm_complex)
-        return np.asarray(ore) + 1j * np.asarray(oim)
+        # device-side interleave + host reinterpret view (same contract
+        # as gemm_complex; no host arithmetic)
+        from .types import assemble_c64_host
+        return assemble_c64_host(ore, oim)
     res = C64Bits(ore, oim)
     if _backend_has_f64() and not any(
             isinstance(x, (C64Bits, F64Bits)) for x in (a, b)):

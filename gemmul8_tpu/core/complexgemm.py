@@ -268,8 +268,10 @@ def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
             oim = oim + cr * jnp.float32(bi_) + ci * jnp.float32(br_)
         if jax.default_backend() == "cpu":
             return jax.lax.complex(ore, oim)
-        # assemble on host where complex64 is unsupported on device
-        return np.asarray(ore) + 1j * np.asarray(oim)
+        # complex64 is unsupported on device: interleave ON DEVICE and
+        # reinterpret-view on host (no host arithmetic)
+        from ..types import assemble_c64_host
+        return assemble_c64_host(ore, oim)
     # c128 path
     if alpha != 1.0 or beta != 0.0:
         from . import softfloat as sf

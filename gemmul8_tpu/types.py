@@ -117,3 +117,14 @@ def f32_to_bits(x) -> jax.Array:
 
 def bits_to_f32(u) -> jax.Array:
     return jax.lax.bitcast_convert_type(u.astype(jnp.uint32), jnp.float32)
+
+
+def assemble_c64_host(re, im) -> np.ndarray:
+    """(re, im) f32 device planes -> numpy complex64, with the interleave
+    done ON DEVICE (one packed (..., 2) f32 tensor) and only a zero-copy
+    reinterpret view on the host. TPU runtimes here cannot hold complex64
+    device arrays (transfers raise UNIMPLEMENTED), so this is the minimal
+    host step possible: one contiguous transfer, no host arithmetic."""
+    packed = jnp.stack([jnp.asarray(re, jnp.float32),
+                        jnp.asarray(im, jnp.float32)], axis=-1)
+    return np.ascontiguousarray(np.asarray(packed)).view(np.complex64)[..., 0]

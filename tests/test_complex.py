@@ -151,3 +151,18 @@ def test_accurate_complex_magnitude_overflow_regression():
                                compute_type=strat))
         ref = (A @ B)[0, 0]
         assert abs(c[0, 0] - ref) / abs(ref) < 1e-12, (strat, c[0, 0], ref)
+
+
+def test_assemble_c64_host_view():
+    # the TPU-branch assembly helper: device interleave + host view must
+    # equal the arithmetic interleave exactly
+    import numpy as np
+    from gemmul8_tpu.types import assemble_c64_host
+
+    rng = np.random.default_rng(3)
+    re = rng.standard_normal((33, 47)).astype(np.float32)
+    im = rng.standard_normal((33, 47)).astype(np.float32)
+    got = assemble_c64_host(re, im)
+    assert got.dtype == np.complex64 and got.shape == (33, 47)
+    assert np.array_equal(got.view(np.float32)[..., ::2], re)
+    assert np.array_equal(got.view(np.float32)[..., 1::2], im)
