@@ -197,6 +197,10 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
     bound = 26 if len(d) <= 4 else 27
     neg = (sign == 1)
 
+    # No per-modulus `normal` masking is needed: a zero input (the only
+    # ~normal case; inf/nan are documented UB) has all-zero chunks, so the
+    # shifted words, every accumulator, and the centered residues are
+    # already exactly 0 — including -0.0, whose negation below is -0 = 0.
     out = []
     for j in moduli_idx:
         m = int(tables.MODULI[j])
@@ -206,7 +210,6 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
             lob = d[0] & _I32(0xFF)
             sv = jnp.where(neg, (_I32(256) - lob) & _I32(0xFF), lob)
             rc = (sv ^ _I32(0x80)) - _I32(0x80)
-            rc = jnp.where(normal, rc, _I32(0))
             out.append(rc.astype(jnp.int8))
             continue
         acc = jnp.zeros_like(d[0])
@@ -222,7 +225,6 @@ def _residues_from_chunks(chunks, q, sign, normal, moduli_idx,
         # so negating the centered residue equals the residue of -v
         rc = base - jnp.where(base >= _I32((m + 1) // 2), _I32(m), _I32(0))
         rc = jnp.where(neg, -rc, rc)
-        rc = jnp.where(normal, rc, _I32(0))
         out.append(rc.astype(jnp.int8))
     return jnp.stack(out, axis=0)
 
@@ -361,7 +363,8 @@ def _extract_mag7(chunks, exp, normal, emax, mant_bits: int,
     v = d[0]  # result < 2^7, higher chunks zero
     sticky = _dropped_bits_nonzero(chunks, u)
     v = v + sticky.astype(_I32)
-    v = jnp.where(normal, v, _I32(0))
+    # zero inputs (the only ~normal case) have zero chunks -> v == 0
+    # already; no mask needed
     return v.astype(jnp.int8)
 
 

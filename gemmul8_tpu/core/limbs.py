@@ -100,36 +100,62 @@ def shift_right(limbs: Sequence[jax.Array], u: jax.Array,
 
 
 def shift_right_round(limbs: Sequence[jax.Array], u: jax.Array,
-                      n_out: int):
+                      n_out: int, pre_zero_limbs: int = 0):
     """shift_right plus the IEEE rounding inputs in one packed pass:
     returns (shifted n_out limbs, round_bit, sticky) where round_bit is
     bit (u-1) of the value (0 when u == 0) and sticky is whether any bit
     below (u-1) is set. Shares the word packing the three separate calls
     (shift_right, a 1-limb shift for the round bit, dropped_nonzero)
-    would each redo."""
+    would each redo.
+
+    pre_zero_limbs (even, static) logically prepends that many zero limbs
+    below the value, i.e. the shift operates on value * 2^(16*pre).  The
+    zero limbs are compile-time constants: funnel ladder entries where
+    both the candidate and the accumulator are known-zero fold away, and
+    the sticky mask skips them entirely — this is how the reconstruct
+    rounding keeps its shift amount nonnegative (u' = sr + 16*pre >= 0)
+    WITHOUT a second dynamic left-shift funnel for the sr < 0 branch."""
     n = len(limbs)
     _U = jnp.uint32
-    nw = (n + 1) // 2
+    assert pre_zero_limbs % 2 == 0, "pre-shift must be word-aligned"
+    pw = pre_zero_limbs // 2
+    nw_real = (n + 1) // 2
     words = []
-    for i in range(nw):
+    for i in range(nw_real):
         w = limbs[2 * i].astype(_U)
         if 2 * i + 1 < n:
             w = w | (limbs[2 * i + 1].astype(_U) << 16)
         words.append(w)
+    ntot = n + pre_zero_limbs
     nw_out = (n_out + 1) // 2
-    max_ws = (16 * (n + 1)) // 32 + 1
+    max_ws = (16 * (ntot + 1)) // 32 + 1
     ws = u >> 5
     b = (u & _I32(31)).astype(_U)
     zero = jnp.zeros_like(words[0])
-    padded = words + [zero] * (max_ws + nw_out + 2)
+    # None marks a known-zero word (below the pre-shift or above the top)
+    padded = [None] * pw + words + [None] * (max_ws + nw_out + 2)
+
+    def at(i):
+        return zero if padded[i] is None else padded[i]
+
     out_words = []
     for i in range(nw_out):
         sw = padded[i]
         sw1 = padded[i + 1]
         for wv in range(1, max_ws + 1):
-            sw = jnp.where(ws == wv, padded[i + wv], sw)
-            sw1 = jnp.where(ws == wv, padded[i + wv + 1], sw1)
-        out_words.append((sw >> b) | ((sw1 << (_U(31) - b)) << 1))
+            if padded[i + wv] is None and sw is None:
+                pass  # selecting zero over zero: fold
+            else:
+                sw = jnp.where(ws == wv, at(i + wv),
+                               zero if sw is None else sw)
+            if padded[i + wv + 1] is None and sw1 is None:
+                pass
+            else:
+                sw1 = jnp.where(ws == wv, at(i + wv + 1),
+                                zero if sw1 is None else sw1)
+        swv = zero if sw is None else sw
+        sw1v = zero if sw1 is None else sw1
+        out_words.append((swv >> b) | ((sw1v << (_U(31) - b)) << 1))
     out = []
     for j in range(n_out):
         w = out_words[j // 2]
@@ -141,40 +167,21 @@ def shift_right_round(limbs: Sequence[jax.Array], u: jax.Array,
     bp = (up & _I32(31)).astype(_U)
     rw = padded[0]
     for wv in range(1, max_ws + 1):
-        rw = jnp.where(wsp == wv, padded[wv], rw)
-    rbit = jnp.where(u > 0, ((rw >> bp) & _U(1)).astype(_I32), _I32(0))
-    # sticky: any of the low (u-1) bits
+        if padded[wv] is None and rw is None:
+            pass
+        else:
+            rw = jnp.where(wsp == wv, at(wv), zero if rw is None else rw)
+    rwv = zero if rw is None else rw
+    rbit = jnp.where(u > 0, ((rwv >> bp) & _U(1)).astype(_I32), _I32(0))
+    # sticky: any of the low (u-1) bits (zero pre-words contribute nothing)
     sticky = jnp.zeros(limbs[0].shape, jnp.bool_)
     for i, w in enumerate(words):
-        nbits = jnp.clip(up - 32 * i, 0, 32)
+        nbits = jnp.clip(up - 32 * (i + pw), 0, 32)
         full = nbits >= 32
         mask = jnp.where(full, _U(0xFFFFFFFF),
                          (_U(1) << nbits.astype(_U)) - _U(1))
         sticky = sticky | ((w & mask) != 0)
     return out, rbit, sticky
-
-
-def shift_left(limbs: Sequence[jax.Array], v: jax.Array,
-               n_out: int) -> List[jax.Array]:
-    """Dynamic left shift by v (0 <= v <= 16*n_out), keeping n_out limbs."""
-    w = v >> 4
-    b = v & _I32(15)
-    max_w = n_out
-    padded = [jnp.zeros_like(limbs[0])] * (max_w + 1) + list(limbs)
-    # padded index: limb i of input is at padded[max_w + 1 + i]
-    out = []
-    for i in range(n_out):
-        sw = jnp.zeros_like(limbs[0])
-        sw1 = jnp.zeros_like(limbs[0])
-        for wv in range(0, max_w + 1):
-            idx = max_w + 1 + i - wv
-            lo = padded[idx] if 0 <= idx < len(padded) else jnp.zeros_like(limbs[0])
-            idx2 = idx - 1
-            lo1 = padded[idx2] if 0 <= idx2 < len(padded) else jnp.zeros_like(limbs[0])
-            sw = jnp.where(w == wv, lo, sw)
-            sw1 = jnp.where(w == wv, lo1, sw1)
-        out.append(((sw << b) | (sw1 >> (16 - b))) & _I32(_MASK))
-    return out
 
 
 def dropped_nonzero(limbs: Sequence[jax.Array], u: jax.Array) -> jax.Array:

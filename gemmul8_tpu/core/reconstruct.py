@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import tables
 from ..types import F64Bits
@@ -80,14 +81,21 @@ def _mod_m_centered(x, num_moduli: int):
         xf = xf + x[l].astype(jnp.float32) * jnp.float32(2.0 ** (16 * l - scale))
     mf = float((mm >> scale) + 1) if scale >= 0 else float(mm << -scale)
     # mf slightly over-estimates M in the same scale -> t_est <= t always
-    # (xf under-estimates X, mf over-estimates M, and the 2^-18 margin
-    # dominates the two f32 roundings since t <= 255*num_moduli < 2^12).
-    t_est = jnp.floor(xf / jnp.float32(mf) * (1.0 - 2.0 ** -18)).astype(_I32)
+    # (xf under-estimates X up to its f32 roundings, and the 2^-18 margin
+    # dominates those roundings since t <= 255*num_moduli < 2^12).  The
+    # division is folded into one compile-time reciprocal constant rounded
+    # TOWARD ZERO, so rinv <= (1 - 2^-18)/mf exactly and the only runtime
+    # rounding on the safe side is the single product (2^-24 < margin) —
+    # saves the VPU divide (several Newton steps) per element.
+    rinv = float(np.nextafter(np.float32((1.0 - 2.0 ** -18) / mf),
+                              np.float32(0.0)))
+    t_est = jnp.floor(xf * jnp.float32(rinv)).astype(_I32)
     t_est = jnp.maximum(t_est, 0)
     x, _ = lb.scale_const_sub(x, t_est, m_limbs)
     # Undershoot bound (canonical x): t - t_est <= t*(2*2^-16 + 2^-18 +
-    # 2^-22) + 1 < 0.15 + 1 < 2 (xf limb truncation and mf granularity
-    # are each <= 2^-16 relative, t <= 255*num_moduli < 2^12, plus the
+    # 2*2^-24) + 1 < 0.15 + 1 < 2 (xf limb truncation and mf granularity
+    # are each <= 2^-16 relative, rinv's down-rounding and the product
+    # rounding <= 2^-24 each, t <= 255*num_moduli < 2^12, plus the
     # floor). Redundant x (limbs < 2^29): xf additionally drops the
     # sub-(top-1) limbs' excess mass <= 2^29 * 2^(16*(top-2)) * 1.01
     # <= M/8 (M >= 2^(16*top)), so t - t_est < 0.15 + 0.13 + 1 < 1.5.
@@ -147,13 +155,16 @@ def _round_to_float(mag, neg, e_fix, mant_bits: int):
     # Right-shift amount to put MSB at bit (mant_bits-1), plus subnormal
     # extension when eb <= 0.
     sr = p - _I32(mant_bits - 1) + jnp.maximum(0, 1 - eb)
-    u = jnp.clip(sr, 0, 16 * (len(mag) + 1))
-    sh, rbit, sticky = lb.shift_right_round(mag, u, n_mant_chunks + 1)
-    sticky = (u > 1) & sticky
-    # left shift when sr < 0 (value has fewer bits than the mantissa)
-    v = jnp.clip(-sr, 0, 16 * n_mant_chunks)
-    left = lb.shift_left(mag[: n_mant_chunks + 1], v, n_mant_chunks + 1)
-    mant = lb.select(sr < 0, left, sh)
+    # Static pre-shift: shift mag * 2^(16*PRE) right by sr + 16*PRE, which
+    # is always >= 0 (-sr <= mant_bits <= 16*PRE for nonzero mag, and the
+    # subnormal extension only raises sr; mag == 0 is forced to zero at the
+    # end).  One funnel pass replaces the old right-funnel + left-funnel +
+    # select triple: the pre-shift's zero limbs are static, so their ladder
+    # entries and sticky masks fold away inside shift_right_round.
+    pre = n_mant_chunks              # 16*4=64 > 53 (f64); 16*2=32 > 24 (f32)
+    u = jnp.clip(sr + _I32(16 * pre), 0, 16 * (len(mag) + pre + 1))
+    mant, rbit, sticky = lb.shift_right_round(mag, u, n_mant_chunks + 1,
+                                              pre_zero_limbs=pre)
     # round to nearest even
     inc = (rbit == 1) & (sticky | ((mant[0] & _I32(1)) == 1))
     mant = lb.carry_propagate([mant[0] + inc.astype(_I32)] + list(mant[1:]))

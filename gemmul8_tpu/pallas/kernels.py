@@ -575,6 +575,11 @@ def _encode_tile_mxu(chunks, exp, sign, normal, sft, w, num_moduli: int,
     L = len(moduli_idx)
     y3 = y.reshape(L + 1, bm, bk)
     s128 = y3[L] * _I32(128)
+    # No per-modulus `normal` masking: a zero input (the only ~normal
+    # case; inf/nan are UB) has all-zero words and neg_eff false, so every
+    # plane byte is 0, raw collapses to exactly 0 (the constants cancel by
+    # construction), and both the 256 path and the round-nearest Barrett
+    # map raw = 0 to the centered residue 0.
     out = []
     for jj, j in enumerate(moduli_idx):
         m = int(tables.MODULI[j])
@@ -587,7 +592,6 @@ def _encode_tile_mxu(chunks, exp, sign, normal, sft, w, num_moduli: int,
             qf = (raw.astype(jnp.float32) * jnp.float32(1.0 / m)
                   + jnp.float32(0.5 - 2.0 ** -10)).astype(_I32)
             rc = raw - qf * _I32(m)              # centered, no fixups
-        rc = jnp.where(normal, rc, _I32(0))
         out.append(rc.astype(jnp.int8))
     return jnp.stack(out, axis=0)
 
