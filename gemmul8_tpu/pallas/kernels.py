@@ -76,10 +76,13 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
     else:
         rows, kdim = d1, d0
     if block is None:  # tuned on v5e at 8192^2 (tune_kernels.py)
-        # NOTE: the reduction-chunk width is part of the shift's bit
-        # contract (block-wise online merge) — fast_encode_fused_pallas's
-        # stat_chunk must match it per axis
-        block = (512, 2048)
+        # NOTE: the reduction-chunk width (2048, along the contraction) is
+        # part of the shift's bit contract (block-wise online merge) —
+        # fast_encode_fused_pallas's stat_chunk must match it per axis.
+        # The ROW count is pure tuning: per-axis bests measured round 4
+        # (ax1 1.65 ms @ 512 vs 1.96 @ 1024; ax0 1.74 ms @ 1024 vs
+        # 2.12 @ 512; bit-exact across row blocks by construction).
+        block = (512, 2048) if axis == 1 else (1024, 2048)
     br, bk = block
     t_f = tables.threshold_fast(num_moduli)
     rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
