@@ -158,7 +158,6 @@ def _shifted_value_words(chunks, q, mant_bits: int, q_max_static: int):
     assert q_max_static < 64
     nw_out = (mant_bits + 1 + q_max_static + 31) // 32
     ql = jnp.clip(q, 0, q_max_static)
-    wsh = ql >> 5           # 0 or 1 whole words
     b = (ql & 31).astype(_U)
     zero = jnp.zeros_like(rw[0])
     padded = [zero, zero] + rw + [zero] * max(nw_out - len(rw), 0)
@@ -167,6 +166,14 @@ def _shifted_value_words(chunks, q, mant_bits: int, q_max_static: int):
         return padded[i + 2]
 
     out = []
+    if q_max_static < 32:
+        # whole-word shift is statically 0 (ql <= q_max_static < 32):
+        # the word-select ladder folds away (the common f64 case — e.g.
+        # q_max_static = 1 at 14 moduli)
+        for i in range(nw_out):
+            out.append((at(i) << b) | ((at(i - 1) >> (_U(31) - b)) >> 1))
+        return out
+    wsh = ql >> 5           # 0 or 1 whole words
     for i in range(nw_out):
         lo0, hi0 = at(i), at(i - 1)        # wsh == 0 sources
         lo1, hi1 = at(i - 1), at(i - 2)    # wsh == 1 sources

@@ -99,22 +99,22 @@ def _mod_m_centered(x, num_moduli: int):
     # floor). Redundant x (limbs < 2^29): xf additionally drops the
     # sub-(top-1) limbs' excess mass <= 2^29 * 2^(16*(top-2)) * 1.01
     # <= M/8 (M >= 2^(16*top)), so t - t_est < 0.15 + 0.13 + 1 < 1.5.
-    # After subtracting t_est*M the remainder is < 2.5*M: ONE borrow-
-    # select pass brings it below 1.5*M, and the centering handles the
-    # [M, 1.5M) overhang directly (x - M is then in [0, M/2): a positive
-    # magnitude with neg unset, exactly right) — one full subtraction
-    # pass cheaper than reduce-then-center. (scale_const_sub's masking
-    # also canonicalizes redundant input limbs as it goes; its
-    # intermediates stay < 2^30.)
-    cand, borrow = lb.sub_const(x, m_limbs)
-    x = lb.select(borrow == 0, cand, x)          # x in [0, 1.5*M)
-    half_limbs = [int(v) for v in _const_limbs(mm // 2, nl)]
-    over, borrow2 = lb.sub_const(x, m_limbs)     # x - M where x >= M
-    ge_m = borrow2 == 0
-    gt_half = _gt_const(x, half_limbs)
-    neg = gt_half & ~ge_m                        # x in (M/2, M): value < 0
-    g = lb.const_minus(m_limbs, x)               # M - x (magnitude there)
-    mag = lb.select(ge_m, over, lb.select(neg, g, x))
+    # Either way t - t_est is an integer in {0, 1}, so after subtracting
+    # t_est*M the remainder is < 2*M — the two-subtraction case select
+    # below covers [0, 3M). (scale_const_sub's masking also canonicalizes
+    # redundant input limbs as it goes; its intermediates stay < 2^30.)
+    # Fold the remaining reduction into the case select: x < 2.5M, so
+    # r = x mod M is one of {x, x-M, x-2M} picked by the two subtraction
+    # borrows (no separate reduce-then-center pass, no magnitude compare
+    # scan — the half test is a borrow-only subtraction).
+    d1, b1 = lb.sub_const(x, m_limbs)            # x - M
+    d2, b2 = lb.sub_const(d1, m_limbs)           # x - 2M (borrow chains)
+    r = lb.select(b1 != 0, x, lb.select(b2 != 0, d1, d2))  # r in [0, M)
+    half1 = [int(v) for v in _const_limbs(mm // 2 + 1, nl)]
+    _, bh = lb.sub_const(r, half1)               # bh == 0  <=>  r > M/2
+    neg = bh == 0
+    g = lb.const_minus(m_limbs, r)               # M - r (magnitude there)
+    mag = lb.select(neg, g, r)
     # mag <= M/2 < 2^(bits(M)-1): the accumulator-sized top limbs are
     # provably zero — drop them so the rounding chain (msb scan, funnel
     # shifts, sticky) runs on fewer limbs. M is never a power of two, so
@@ -125,16 +125,6 @@ def _mod_m_centered(x, num_moduli: int):
 
 def _const_limbs(v: int, n: int):
     return [(v >> (16 * i)) & 0xFFFF for i in range(n)]
-
-
-def _gt_const(a, const_limbs):
-    """a > C for canonical limbs vs python-int constant limbs (LSB-up scan
-    with int32 state; Mosaic-friendly — no bool-literal selects)."""
-    gt = jnp.zeros_like(a[0])
-    for xa, cl in zip(a, [int(c) for c in const_limbs]):
-        gt = jnp.where(xa > _I32(cl), _I32(1),
-                       jnp.where(xa < _I32(cl), _I32(0), gt))
-    return gt == 1
 
 
 def _round_to_float(mag, neg, e_fix, mant_bits: int):
