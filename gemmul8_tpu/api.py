@@ -80,40 +80,92 @@ def _apply_op(x, op: str, is_cplx: bool):
     raise ValueError(f"op must be N/T/C, got {op}")
 
 
-def _finalize(c_raw, out_kind: str, alpha, beta, c_in, want_native_f64: bool):
-    if out_kind == "f32":
-        out = c_raw
+def pow2_exponent(x) -> Optional[int]:
+    """Static exponent e if x == 2.0**e exactly (finite, positive, normal
+    float), else None. Such an alpha folds into the reconstruct's inverse
+    scaling for free (e_extra) instead of running the softfloat epilogue —
+    the TPU analog of the reference's alpha-specialized inverse_scaling
+    kernels (inverse_scaling.hpp:269-820)."""
+    try:
+        xf = float(x)
+    except (TypeError, ValueError):
+        return None
+    if not np.isfinite(xf) or xf <= 0.0:
+        return None
+    m, e = np.frexp(xf)
+    if m != 0.5:
+        return None
+    e = int(e) - 1
+    # keep folded exponents inside the int32 e_fix budget (|sft| <= ~2^11)
+    return e if -900 <= e <= 900 else None
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_epi_f64(alpha: float, beta: float, with_c: bool):
+    """One traced softfloat alpha/beta epilogue (O(1) dispatches on TPU;
+    the eager chain issued dozens at ~3 ms tunnel cost each)."""
+    from .core import softfloat as sf
+
+    def f(hi, lo, chi=None, clo=None):
+        out = F64Bits(hi, lo)
+        if alpha != 1.0:
+            out = sf.mul(out, sf.const_f64(alpha, hi.shape))
+        if beta != 0.0:
+            cb = sf.mul(F64Bits(chi, clo), sf.const_f64(beta, hi.shape))
+            out = sf.add(out, cb)
+        return out.hi, out.lo
+
+    return jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_epi_f32(alpha: float, beta: float, with_c: bool):
+    def f(out, c=None):
         if alpha != 1.0:
             out = out * jnp.float32(alpha)
         if beta != 0.0:
-            if c_in is None:
-                raise ValueError("beta != 0 requires c")
-            out = out + jnp.float32(beta) * jnp.asarray(c_in, jnp.float32)
+            out = out + jnp.float32(beta) * c
         return out
-    # f64 target
-    if alpha != 1.0 or beta != 0.0:
-        from .core import softfloat as sf
 
-        alpha_b = sf.const_f64(alpha, c_raw.hi.shape)
-        out = sf.mul(c_raw, alpha_b) if alpha != 1.0 else c_raw
-        if beta != 0.0:
-            if c_in is None:
+    return jax.jit(f)
+
+
+def _canon_c_f64(c_in) -> F64Bits:
+    """c operand -> F64Bits for the softfloat epilogue."""
+    if isinstance(c_in, F64Bits):
+        return c_in
+    if isinstance(c_in, np.ndarray):
+        return f64_to_bits(np.asarray(c_in, np.float64))
+    if getattr(c_in, "dtype", None) == jnp.float64:
+        return f64_to_bits(c_in)
+    # non-f64 jax array (e.g. f32 on a no-x64 backend): a device
+    # bitcast would misinterpret the words — widen on host
+    # (f32 -> f64 is exact)
+    return f64_to_bits(np.asarray(jax.device_get(c_in), np.float64))
+
+
+def _finalize(c_raw, out_kind: str, alpha, beta, c_in, want_native_f64: bool):
+    if out_kind == "f32":
+        out = c_raw
+        if alpha != 1.0 or beta != 0.0:
+            if beta != 0.0 and c_in is None:
                 raise ValueError("beta != 0 requires c")
-            if isinstance(c_in, F64Bits):
-                cb = c_in
-            elif isinstance(c_in, np.ndarray):
-                cb = f64_to_bits(np.asarray(c_in, np.float64))
-            elif getattr(c_in, "dtype", None) == jnp.float64:
-                cb = f64_to_bits(c_in)
-            else:
-                # non-f64 jax array (e.g. f32 on a no-x64 backend): a device
-                # bitcast would misinterpret the words — widen on host
-                # (f32 -> f64 is exact)
-                cb = f64_to_bits(
-                    np.asarray(jax.device_get(c_in), np.float64))
-            bc = sf.mul(cb, sf.const_f64(beta, c_raw.hi.shape))
-            out = sf.add(out, bc)
-        c_raw = out
+            fn = _jit_epi_f32(float(alpha), float(beta), beta != 0.0)
+            out = fn(out, jnp.asarray(c_in, jnp.float32)) if beta != 0.0 \
+                else fn(out)
+        return out
+    # f64 target: one jitted softfloat graph (bit-identical to the eager
+    # sf.mul/sf.add chain — asserted in tests/test_review_fixes.py)
+    if alpha != 1.0 or beta != 0.0:
+        if beta != 0.0 and c_in is None:
+            raise ValueError("beta != 0 requires c")
+        fn = _jit_epi_f64(float(alpha), float(beta), beta != 0.0)
+        if beta != 0.0:
+            cb = _canon_c_f64(c_in)
+            hi, lo = fn(c_raw.hi, c_raw.lo, cb.hi, cb.lo)
+        else:
+            hi, lo = fn(c_raw.hi, c_raw.lo)
+        c_raw = F64Bits(hi, lo)
     if want_native_f64 and _backend_has_f64():
         return bits_to_f64(c_raw)
     return c_raw
@@ -189,24 +241,35 @@ def gemm(
                 "return_times is for the one-shot schedule")
         c_raw, times = _timed_core(ca, cb_, num_moduli, fastmode, kind, 1)
         return _finalize(c_raw, kind, alpha, beta, c, want_native_f64), times
+    # power-of-two alpha folds into the reconstruct exponent: exact (the
+    # result is rounded once at the folded scale) and free
+    alpha_e = 0
+    if beta == 0.0:
+        e = pow2_exponent(alpha)
+        if e is not None:
+            alpha_e, alpha = e, 1.0
     if n_panel is not None and n_panel < n:
-        c_raw = _jit_panels(num_moduli, fastmode, kind, n_panel)(ca, cb_)
+        c_raw = _jit_panels(num_moduli, fastmode, kind, n_panel,
+                            alpha_e)(ca, cb_)
     else:
-        c_raw = _jit_core(num_moduli, fastmode, kind, moduli_chunk)(ca, cb_)
+        c_raw = _jit_core(num_moduli, fastmode, kind, moduli_chunk,
+                          alpha_e)(ca, cb_)
     return _finalize(c_raw, kind, alpha, beta, c, want_native_f64)
 
 
 @_functools.lru_cache(maxsize=None)
 def _jit_core(num_moduli: int, fastmode: bool, kind: str,
-              moduli_chunk=None):
+              moduli_chunk=None, alpha_e: int = 0):
     return jax.jit(lambda a, b: _g.gemm_core(a, b, num_moduli, fastmode,
-                                             kind, moduli_chunk))
+                                             kind, moduli_chunk,
+                                             alpha_e=alpha_e))
 
 
 @_functools.lru_cache(maxsize=None)
-def _jit_panels(num_moduli: int, fastmode: bool, kind: str, n_panel: int):
+def _jit_panels(num_moduli: int, fastmode: bool, kind: str, n_panel: int,
+                alpha_e: int = 0):
     return jax.jit(lambda a, b: _g.gemm_core_panels(
-        a, b, num_moduli, fastmode, kind, n_panel))
+        a, b, num_moduli, fastmode, kind, n_panel, alpha_e=alpha_e))
 
 
 def gemm_batched(a, b, *, num_moduli: int = 14, fastmode: bool = True,

@@ -120,31 +120,35 @@ def _encode_complex_operands(a_re, a_im, b_re, b_im, num_moduli, fastmode,
 
 
 def _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli, out_kind,
-                      use_pallas=False):
+                      use_pallas=False, e_extra=0):
     """One reconstruct call over [Re; Im] stacked along rows."""
     r2 = jnp.concatenate([r_re, r_im], axis=1)
     sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
-    out = _reconstruct(r2, sft_a2, sft_b, num_moduli, out_kind, use_pallas)
+    out = _reconstruct(r2, sft_a2, sft_b, num_moduli, out_kind, use_pallas,
+                       e_extra)
     m = r_re.shape[1]
     return out[:m], out[m:]
 
 
-def _reconstruct(r, sft_a, sft_b, num_moduli, out_kind, use_pallas):
+def _reconstruct(r, sft_a, sft_b, num_moduli, out_kind, use_pallas,
+                 e_extra=0):
     if use_pallas:
         from ..pallas import kernels as pk
 
         # r is canonical residues in [0, m): uint8 carries them exactly and
         # selects the kernel's no-second-mod input branch
         return pk.reconstruct_pallas(r.astype(jnp.uint8), sft_a, sft_b,
-                                     num_moduli, out_kind)
-    return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_kind)
+                                     num_moduli, out_kind, e_extra=e_extra)
+    return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_kind, e_extra)
 
 
 def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
                       fastmode: bool, compute_type: ComputeType,
-                      out_kind: str, use_pallas: bool = False):
+                      out_kind: str, use_pallas: bool = False,
+                      e_extra: int = 0):
     """Emulated complex GEMM on canonical (re, im) operand pairs.
-    Returns (re, im) in the target real format."""
+    Returns (re, im) in the target real format. e_extra: power-of-two
+    (real) alpha exponent folded into the inverse scaling (exact, free)."""
     if compute_type in (ComputeType.REAL_DEFAULT, None):
         compute_type = ComputeType.COMPLEX_BIG_MATRIX_ENCODE
     k = a_re.shape[1]
@@ -165,7 +169,7 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
         r = sg.mod_reduce(c32, num_moduli)
         sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
         out = _reconstruct(r, sft_a2, sft_b, num_moduli, out_kind,
-                           use_pallas)
+                           use_pallas, e_extra)
         m = a_re.shape[0]
         return out[:m], out[m:]
 
@@ -177,7 +181,7 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
         r_re = sg.mod_reduce(rr - ii, num_moduli)
         r_im = sg.mod_reduce(ri + ir, num_moduli)
         return _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli,
-                                 out_kind, use_pallas)
+                                 out_kind, use_pallas, e_extra)
 
     if compute_type == ComputeType.COMPLEX_KARATSUBA_MULT:
         s_a = _recenter_add_int8(a8r, a8i, num_moduli)
@@ -188,7 +192,7 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
         r_re = sg.mod_reduce(e - f, num_moduli)
         r_im = sg.mod_reduce(g - e - f, num_moduli)
         return _reconstruct_pair(r_re, r_im, sft_a, sft_b, num_moduli,
-                                 out_kind, use_pallas)
+                                 out_kind, use_pallas, e_extra)
 
     raise ValueError(compute_type)
 
@@ -230,11 +234,63 @@ def _canon_complex(x):
 
 
 @lru_cache(maxsize=None)
-def _jit_complex_core(num_moduli, fastmode, compute_type, out_kind):
+def _jit_complex_core(num_moduli, fastmode, compute_type, out_kind,
+                      e_extra=0):
     use_pallas = jax.default_backend() == "tpu"
     return jax.jit(lambda ar, ai, br, bi: gemm_complex_core(
         ar, ai, br, bi, num_moduli, fastmode, compute_type, out_kind,
-        use_pallas))
+        use_pallas, e_extra))
+
+
+def _cscale(re, im, z):
+    """(re, im) * complex z in softfloat; real z skips the cross
+    terms (they would also flip -0.0 imag parts to +0.0)."""
+    from . import softfloat as sf
+
+    zr, zi = complex(z).real, complex(z).imag
+    shp = re.hi.shape
+    if zi == 0.0:
+        return (sf.mul(re, sf.const_f64(zr, shp)),
+                sf.mul(im, sf.const_f64(zr, shp)))
+    return (sf.sub(sf.mul(re, sf.const_f64(zr, shp)),
+                   sf.mul(im, sf.const_f64(zi, shp))),
+            sf.add(sf.mul(re, sf.const_f64(zi, shp)),
+                   sf.mul(im, sf.const_f64(zr, shp))))
+
+
+@lru_cache(maxsize=None)
+def _jit_epi_c128(alpha: complex, beta: complex, with_c: bool):
+    """One traced softfloat complex alpha/beta epilogue (O(1) dispatches
+    on TPU — the eager _cscale chain issued dozens)."""
+    from . import softfloat as sf
+
+    def f(rh, rl, ih, il, crh=None, crl=None, cih=None, cil=None):
+        ore, oim = F64Bits(rh, rl), F64Bits(ih, il)
+        if alpha != 1.0:
+            ore, oim = _cscale(ore, oim, alpha)
+        if beta != 0.0:
+            tre, tim = _cscale(F64Bits(crh, crl), F64Bits(cih, cil), beta)
+            ore = sf.add(ore, tre)
+            oim = sf.add(oim, tim)
+        return ore.hi, ore.lo, oim.hi, oim.lo
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _jit_epi_c64(alpha: complex, beta: complex, with_c: bool):
+    def f(ore, oim, cr=None, ci=None):
+        ar_, ai_ = alpha.real, alpha.imag
+        if alpha != 1.0:
+            ore, oim = (ore * jnp.float32(ar_) - oim * jnp.float32(ai_),
+                        ore * jnp.float32(ai_) + oim * jnp.float32(ar_))
+        if beta != 0.0:
+            br_, bi_ = beta.real, beta.imag
+            ore = ore + cr * jnp.float32(br_) - ci * jnp.float32(bi_)
+            oim = oim + cr * jnp.float32(bi_) + ci * jnp.float32(br_)
+        return ore, oim
+
+    return jax.jit(f)
 
 
 def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
@@ -248,52 +304,43 @@ def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
     else:
         out_kind_c = "c128" if "c128" in (kind_a, kind_b) else "c64"
     out_kind = "f64" if out_kind_c == "c128" else "f32"
+    # real power-of-two alpha folds into the inverse scaling (exact, free)
+    from ..api import pow2_exponent
+
+    e_extra = 0
+    if beta == 0.0 and complex(alpha).imag == 0.0:
+        e = pow2_exponent(complex(alpha).real)
+        if e is not None:
+            e_extra, alpha = e, 1.0
     ore, oim = _jit_complex_core(num_moduli, fastmode, compute_type,
-                                 out_kind)(a_re, a_im, b_re, b_im)
+                                 out_kind, e_extra)(a_re, a_im, b_re, b_im)
     if out_kind == "f32":
         # alpha/beta in real f32 arithmetic: some TPU runtimes cannot hold
         # complex64 device arrays at all (transfers raise UNIMPLEMENTED)
-        ar_, ai_ = complex(alpha).real, complex(alpha).imag
-        if alpha != 1.0:
-            ore, oim = (ore * jnp.float32(ar_) - oim * jnp.float32(ai_),
-                        ore * jnp.float32(ai_) + oim * jnp.float32(ar_))
-        if beta != 0.0:
-            if c is None:
+        if alpha != 1.0 or beta != 0.0:
+            if beta != 0.0 and c is None:
                 raise ValueError("beta != 0 requires c")
-            cn = np.asarray(c, np.complex64)
-            cr = jnp.asarray(cn.real, jnp.float32)
-            ci = jnp.asarray(cn.imag, jnp.float32)
-            br_, bi_ = complex(beta).real, complex(beta).imag
-            ore = ore + cr * jnp.float32(br_) - ci * jnp.float32(bi_)
-            oim = oim + cr * jnp.float32(bi_) + ci * jnp.float32(br_)
+            fn = _jit_epi_c64(complex(alpha), complex(beta), beta != 0.0)
+            if beta != 0.0:
+                cn = np.asarray(c, np.complex64)
+                ore, oim = fn(ore, oim,
+                              jnp.asarray(cn.real, jnp.float32),
+                              jnp.asarray(cn.imag, jnp.float32))
+            else:
+                ore, oim = fn(ore, oim)
         if jax.default_backend() == "cpu":
             return jax.lax.complex(ore, oim)
         # complex64 is unsupported on device: interleave ON DEVICE and
         # reinterpret-view on host (no host arithmetic)
         from ..types import assemble_c64_host
         return assemble_c64_host(ore, oim)
-    # c128 path
+    # c128 path: one jitted softfloat graph (bit-identical to the eager
+    # chain — asserted in tests/test_complex.py)
     if alpha != 1.0 or beta != 0.0:
-        from . import softfloat as sf
-
-        def _cscale(re, im, z):
-            """(re, im) * complex z in softfloat; real z skips the cross
-            terms (they would also flip -0.0 imag parts to +0.0)."""
-            zr, zi = complex(z).real, complex(z).imag
-            shp = re.hi.shape
-            if zi == 0.0:
-                return (sf.mul(re, sf.const_f64(zr, shp)),
-                        sf.mul(im, sf.const_f64(zr, shp)))
-            return (sf.sub(sf.mul(re, sf.const_f64(zr, shp)),
-                           sf.mul(im, sf.const_f64(zi, shp))),
-                    sf.add(sf.mul(re, sf.const_f64(zi, shp)),
-                           sf.mul(im, sf.const_f64(zr, shp))))
-
-        if alpha != 1.0:
-            ore, oim = _cscale(ore, oim, alpha)
+        if beta != 0.0 and c is None:
+            raise ValueError("beta != 0 requires c")
+        fn = _jit_epi_c128(complex(alpha), complex(beta), beta != 0.0)
         if beta != 0.0:
-            if c is None:
-                raise ValueError("beta != 0 requires c")
             c_re, c_im, kind_c = _canon_complex(
                 np.asarray(c) if not isinstance(c, (C64Bits, F64Bits,
                                                     jax.Array)) else c)
@@ -304,9 +351,11 @@ def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
                                               np.float64))
                 c_im = f64_to_bits(np.asarray(jax.device_get(c_im),
                                               np.float64))
-            tre, tim = _cscale(c_re, c_im, beta)
-            ore = sf.add(ore, tre)
-            oim = sf.add(oim, tim)
+            rh, rl, ih, il = fn(ore.hi, ore.lo, oim.hi, oim.lo,
+                                c_re.hi, c_re.lo, c_im.hi, c_im.lo)
+        else:
+            rh, rl, ih, il = fn(ore.hi, ore.lo, oim.hi, oim.lo)
+        ore, oim = F64Bits(rh, rl), F64Bits(ih, il)
     res = C64Bits(ore, oim)
     # bits-domain contract, symmetric with the real path: a caller who
     # passed ANY bits operand (C64Bits or F64Bits) gets bits back

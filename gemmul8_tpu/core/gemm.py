@@ -99,7 +99,7 @@ def encode_operand_accurate(a: Operand, b: Operand, num_moduli: int):
 
 def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
               out_dtype: str, moduli_chunk: int | None = None,
-              use_pallas: bool | None = None):
+              use_pallas: bool | None = None, alpha_e: int = 0):
     """C = A @ B emulated. a: (m,k); b: (k,n). Returns F64Bits or f32.
 
     moduli_chunk: low-memory mode — materialize only `moduli_chunk` residue
@@ -107,7 +107,13 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
     each chunk's products into the CRT limb accumulator before the next is
     built. Capability parity with the reference's `memory-lt` branch
     (README.md:3); peak slice memory scales with the chunk, not with
-    num_moduli."""
+    num_moduli.
+
+    alpha_e: static exponent of a power-of-two alpha, folded into the
+    reconstruct's inverse scaling (exact, free — the TPU analog of the
+    reference's alpha-fused inverse_scaling variants). The opt-in
+    pipeline/megakernel schedules don't thread it; they fall back to the
+    monolithic schedule when alpha_e != 0."""
     _check_shapes(a, b)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -131,7 +137,7 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             from ..pallas import megakernel as mk
             from ..pallas import pipelined as pp
 
-            pipe = pp.pipeline_mode()
+            pipe = pp.pipeline_mode() if alpha_e == 0 else 0
             cfg = pp.choose_panels(a.shape[0], b.shape[1], a.shape[1],
                                    num_moduli, encode_rider=pipe >= 2) \
                 if pipe else None
@@ -166,7 +172,8 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             m, k = a.shape
             n = b.shape[1]
             import os
-            if (os.environ.get("GEMMUL8_FUSED_RECONSTRUCT") == "1"
+            if (alpha_e == 0
+                    and os.environ.get("GEMMUL8_FUSED_RECONSTRUCT") == "1"
                     and mk.fused_reconstruct_ok(m, n, k, num_moduli)):
                 # opt-in fused matmul+reconstruct megakernel. Measured
                 # SLOWER than the unfused pipeline at 8192^3 (92 vs
@@ -187,12 +194,13 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             ctr = pk.mxu_crt_default()
             r8 = pm.matmul_mod_u8(a8, b8, num_moduli, centered=ctr)
             return pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
-                                         out_dtype, mxu=ctr)
+                                         out_dtype, mxu=ctr, e_extra=alpha_e)
         a8 = _encode_idx(a, sft_a, num_moduli, None)
         b8 = _encode_idx(b, sft_b, num_moduli, None)
         c32 = sg.slice_products(a8, b8)
         r = sg.mod_reduce(c32, num_moduli)
-        return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype)
+        return rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype,
+                               alpha_e)
 
     # ---- moduli-chunked schedule (shifts already selected above:
     # they are chunk-independent) ----
@@ -223,13 +231,13 @@ def gemm_core(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
 
         return pk.reconstruct_pallas(jnp.stack(acc, 0), sft_a, sft_b,
                                      num_moduli, out_dtype,
-                                     input_kind="limbs")
-    return rec.finalize(acc, sft_a, sft_b, num_moduli, out_dtype)
+                                     input_kind="limbs", e_extra=alpha_e)
+    return rec.finalize(acc, sft_a, sft_b, num_moduli, out_dtype, alpha_e)
 
 
 def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                      out_dtype: str, n_panel: int,
-                     use_pallas: bool | None = None):
+                     use_pallas: bool | None = None, alpha_e: int = 0):
     """Column-panel schedule for problems whose full slice tensors exceed
     HBM (e.g. 16384^3 needs ~17 GB one-shot on a 16 GB chip): A is encoded
     once; B is encoded, multiplied, and reconstructed one n-panel at a
@@ -261,7 +269,7 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
                 a8 = pk.encode_slices_pallas(a, sft_a, num_moduli, axis=1)
             cfg = pp.choose_panels(a.shape[0], bp.shape[1], a.shape[1],
                                    num_moduli) \
-                if pp.pipeline_mode() else None
+                if (pp.pipeline_mode() and alpha_e == 0) else None
             if cfg and out_dtype in ("f64", "f32"):
                 # per-column-panel m-pipeline: A encoded once and shared
                 # (re-encoded per panel in accurate mode, whose shifts
@@ -276,7 +284,8 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
             ctr = pk.mxu_crt_default()
             r8 = pm.matmul_mod_u8(a8, b8, num_moduli, centered=ctr)
             outs.append(pk.reconstruct_pallas(r8, sft_a, sft_b, num_moduli,
-                                              out_dtype, mxu=ctr))
+                                              out_dtype, mxu=ctr,
+                                              e_extra=alpha_e))
         if out_dtype == "f64":
             return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
                            jnp.concatenate([o.lo for o in outs], axis=1))
@@ -299,7 +308,8 @@ def gemm_core_panels(a: Operand, b: Operand, num_moduli: int, fastmode: bool,
         b8 = _encode_idx(bp, sft_b, num_moduli, None)
         c32 = sg.slice_products(a8, b8)
         r = sg.mod_reduce(c32, num_moduli)
-        outs.append(rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype))
+        outs.append(rec.reconstruct(r, sft_a, sft_b, num_moduli, out_dtype,
+                                    alpha_e))
     if out_dtype == "f64":
         return F64Bits(jnp.concatenate([o.hi for o in outs], axis=1),
                        jnp.concatenate([o.lo for o in outs], axis=1))

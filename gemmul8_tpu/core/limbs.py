@@ -79,6 +79,18 @@ def sub_const(a: Sequence[jax.Array], const_limbs: Sequence[int]):
     return out, c
 
 
+def sub_const_borrow(a: Sequence[jax.Array],
+                     const_limbs: Sequence[int]) -> jax.Array:
+    """Borrow of a - C only (0 iff a >= C, else -1): the comparison chain
+    without materializing the difference limbs — one mask+append per limb
+    cheaper than sub_const when only the ordering is needed (the mod-M
+    half test)."""
+    c = jnp.zeros_like(a[0])
+    for xa, cl in zip(a, const_limbs):
+        c = (xa - _I32(int(cl)) + c) >> 16
+    return c
+
+
 def const_minus(const_limbs: Sequence[int], a: Sequence[jax.Array]):
     """C - a (elementwise; caller guarantees C >= a)."""
     out = []
@@ -173,14 +185,14 @@ def shift_right_round(limbs: Sequence[jax.Array], u: jax.Array,
             rw = jnp.where(wsp == wv, at(wv), zero if rw is None else rw)
     rwv = zero if rw is None else rw
     rbit = jnp.where(u > 0, ((rwv >> bp) & _U(1)).astype(_I32), _I32(0))
-    # sticky: any of the low (u-1) bits (zero pre-words contribute nothing)
-    sticky = jnp.zeros(limbs[0].shape, jnp.bool_)
+    # sticky: any bit below position up. Word (up>>5) contributes its low
+    # (up&31) bits — and rwv IS that word, already selected for the round
+    # bit, so a mask on it covers the partial word; every real word
+    # strictly below contributes entirely (one threshold compare each).
+    # Zero pre-words contribute nothing and are skipped by construction.
+    sticky = (rwv & ((_U(1) << bp) - _U(1))) != 0
     for i, w in enumerate(words):
-        nbits = jnp.clip(up - 32 * (i + pw), 0, 32)
-        full = nbits >= 32
-        mask = jnp.where(full, _U(0xFFFFFFFF),
-                         (_U(1) << nbits.astype(_U)) - _U(1))
-        sticky = sticky | ((w & mask) != 0)
+        sticky = sticky | ((w != 0) & (up >= _I32(32 * (i + pw + 1))))
     return out, rbit, sticky
 
 
@@ -196,12 +208,12 @@ def dropped_nonzero(limbs: Sequence[jax.Array], u: jax.Array) -> jax.Array:
 
 def msb_position(limbs: Sequence[jax.Array]) -> jax.Array:
     """Bit position of the most significant set bit (value >= 0; returns -1
-    for zero). Uses exact f32 conversion of 16-bit limbs to find per-limb
-    floor(log2)."""
+    for zero). lax.clz on each canonical 16-bit limb (lowers to one VPU op
+    through Mosaic — measured, scripts/probe_clz.py): per limb the scan is
+    clz + compare + select, vs ~6 ops for the earlier f32-exponent trick.
+    Exact for any int32 limb value (no rounding involved)."""
     p = jnp.full_like(limbs[0], -1)
     for i, c in enumerate(limbs):
-        cf = c.astype(jnp.float32)
-        bits = jax.lax.bitcast_convert_type(cf, jnp.uint32)
-        lmsb = ((bits >> 23) & jnp.uint32(0xFF)).astype(_I32) - _I32(127)
-        p = jnp.where(c > 0, _I32(16 * i) + lmsb, p)
+        # value msb = 31 - clz; position in the multi-limb value adds 16*i
+        p = jnp.where(c > 0, _I32(16 * i + 31) - jax.lax.clz(c), p)
     return p

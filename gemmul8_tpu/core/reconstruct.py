@@ -89,8 +89,8 @@ def _mod_m_centered(x, num_moduli: int):
     # saves the VPU divide (several Newton steps) per element.
     rinv = float(np.nextafter(np.float32((1.0 - 2.0 ** -18) / mf),
                               np.float32(0.0)))
+    # no max(t_est, 0) needed: xf >= 0 and rinv > 0, so the floor is >= 0
     t_est = jnp.floor(xf * jnp.float32(rinv)).astype(_I32)
-    t_est = jnp.maximum(t_est, 0)
     x, _ = lb.scale_const_sub(x, t_est, m_limbs)
     # Undershoot bound (canonical x): t - t_est <= t*(2*2^-16 + 2^-18 +
     # 2*2^-24) + 1 < 0.15 + 1 < 2 (xf limb truncation and mf granularity
@@ -99,19 +99,17 @@ def _mod_m_centered(x, num_moduli: int):
     # floor). Redundant x (limbs < 2^29): xf additionally drops the
     # sub-(top-1) limbs' excess mass <= 2^29 * 2^(16*(top-2)) * 1.01
     # <= M/8 (M >= 2^(16*top)), so t - t_est < 0.15 + 0.13 + 1 < 1.5.
-    # Either way t - t_est is an integer in {0, 1}, so after subtracting
-    # t_est*M the remainder is < 2*M — the two-subtraction case select
-    # below covers [0, 3M). (scale_const_sub's masking also canonicalizes
+    # Either way t - t_est is an integer in {0, 1} (and never negative:
+    # t_est <= t by the floor-biased construction), so after subtracting
+    # t_est*M the remainder x = (t - t_est)*M + (X mod M) is < 2*M —
+    # ONE borrow-selected subtraction completes the reduction (the second
+    # x-2M chain round 4 carried was slack beyond this proof; ~40 vector
+    # ops/element retired). (scale_const_sub's masking also canonicalizes
     # redundant input limbs as it goes; its intermediates stay < 2^30.)
-    # Fold the remaining reduction into the case select: x < 2.5M, so
-    # r = x mod M is one of {x, x-M, x-2M} picked by the two subtraction
-    # borrows (no separate reduce-then-center pass, no magnitude compare
-    # scan — the half test is a borrow-only subtraction).
-    d1, b1 = lb.sub_const(x, m_limbs)            # x - M
-    d2, b2 = lb.sub_const(d1, m_limbs)           # x - 2M (borrow chains)
-    r = lb.select(b1 != 0, x, lb.select(b2 != 0, d1, d2))  # r in [0, M)
+    d1, b1 = lb.sub_const(x, m_limbs)            # x - M (borrow chain)
+    r = lb.select(b1 != 0, x, d1)                # r in [0, M)
     half1 = [int(v) for v in _const_limbs(mm // 2 + 1, nl)]
-    _, bh = lb.sub_const(r, half1)               # bh == 0  <=>  r > M/2
+    bh = lb.sub_const_borrow(r, half1)           # bh == 0  <=>  r > M/2
     neg = bh == 0
     g = lb.const_minus(m_limbs, r)               # M - r (magnitude there)
     mag = lb.select(neg, g, r)
@@ -152,8 +150,15 @@ def _round_to_float(mag, neg, e_fix, mant_bits: int):
     # select triple: the pre-shift's zero limbs are static, so their ladder
     # entries and sticky masks fold away inside shift_right_round.
     pre = n_mant_chunks              # 16*4=64 > 53 (f64); 16*2=32 > 24 (f32)
-    u = jnp.clip(sr + _I32(16 * pre), 0, 16 * (len(mag) + pre + 1))
-    mant, rbit, sticky = lb.shift_right_round(mag, u, n_mant_chunks + 1,
+    # lower clamp provably dead: -sr <= mant_bits <= 16*pre (and the
+    # subnormal extension only raises sr), so u > 0 for nonzero mag; the
+    # upper clamp keeps the funnel's word-select ladder in range
+    u = jnp.minimum(sr + _I32(16 * pre), _I32(16 * (len(mag) + pre + 1)))
+    # n_mant_chunks limbs suffice: the shifted value's MSB sits at bit
+    # (mant_bits-1) (< 16*n_mant_chunks) and the round-up carry tops out
+    # at exactly 2^mant_bits, still inside the same limbs — the old +1
+    # spare limb cost a whole extra funnel output word
+    mant, rbit, sticky = lb.shift_right_round(mag, u, n_mant_chunks,
                                               pre_zero_limbs=pre)
     # round to nearest even
     inc = (rbit == 1) & (sticky | ((mant[0] & _I32(1)) == 1))
@@ -206,23 +211,28 @@ def _assemble_f32(neg, eb, mant) -> jax.Array:
 
 
 def reconstruct(r: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
-                num_moduli: int, out_dtype: str):
+                num_moduli: int, out_dtype: str, e_extra: int = 0):
     """CRT-reconstruct and inverse-scale the emulated GEMM result.
 
     r: (L, m, n) int32 canonical residues of the slice products.
     sft_a: (m, 1) int32; sft_b: (1, n) int32 (encode shifts).
     out_dtype: 'f64' -> F64Bits, 'f32' -> jnp.float32 array.
+    e_extra: static exponent added to the inverse-scaling 2^-(sftA+sftB)
+    — how a power-of-two alpha folds into the rounding for free (exact:
+    the value is rounded ONCE at the folded exponent, strictly at least
+    as accurate as a post-hoc multiply; the reference instead fuses alpha
+    into its inverse-scaling kernels, inverse_scaling.hpp:269-820).
     """
     x = accumulate_weighted(r, num_moduli)
-    return finalize(x, sft_a, sft_b, num_moduli, out_dtype)
+    return finalize(x, sft_a, sft_b, num_moduli, out_dtype, e_extra)
 
 
 def finalize(x, sft_a: jax.Array, sft_b: jax.Array, num_moduli: int,
-             out_dtype: str):
+             out_dtype: str, e_extra: int = 0):
     """Mod-M centering + inverse scaling + rounding, from accumulated
     weighted limbs (see accumulate_weighted)."""
     mag, negf = _mod_m_centered(x, num_moduli)
-    e_fix = -(sft_a + sft_b)
+    e_fix = _I32(e_extra) - (sft_a + sft_b)
     if out_dtype == "f64":
         eb, mant = _round_to_float(mag, negf, e_fix, 53)
         return _assemble_f64(negf, eb, mant)

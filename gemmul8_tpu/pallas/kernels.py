@@ -75,14 +75,17 @@ def fast_sft_pallas(x, num_moduli: int, axis: int, block=None,
         rows, kdim = d0, d1
     else:
         rows, kdim = d1, d0
-    if block is None:  # tuned on v5e at 8192^2 (tune_kernels.py)
-        # NOTE: the reduction-chunk width (2048, along the contraction) is
-        # part of the shift's bit contract (block-wise online merge) —
-        # fast_encode_fused_pallas's stat_chunk must match it per axis.
-        # The ROW count is pure tuning: per-axis bests measured round 4
-        # (ax1 1.65 ms @ 512 vs 1.96 @ 1024; ax0 1.74 ms @ 1024 vs
-        # 2.12 @ 512; bit-exact across row blocks by construction).
-        block = (512, 2048) if axis == 1 else (1024, 2048)
+    if block is None:
+        # NOTE: the reduction-chunk width (launch.STATS_CHUNK, along the
+        # contraction) is part of the shift's bit contract (block-wise
+        # online merge) — fast_encode_fused_pallas's stat_chunk must match
+        # it per axis and every launch profile pins it. The ROW count is
+        # pure tuning, keyed on device kind (launch.py; v5e bests measured
+        # round 4: ax1 1.65 ms @ 512 vs 1.96 @ 1024; ax0 1.74 ms @ 1024
+        # vs 2.12 @ 512; bit-exact across row blocks by construction).
+        from . import launch
+
+        block = launch.get("stats_ax1" if axis == 1 else "stats_ax0")
     br, bk = block
     t_f = tables.threshold_fast(num_moduli)
     rp, kp = _ceil_to(rows, br), _ceil_to(kdim, bk)
@@ -480,12 +483,13 @@ def mag7_operand_pallas(x, axis: int, mag_shift: int = 5):
 # exact).
 # ---------------------------------------------------------------------------
 
-# Tuned default block (scripts/tune_kernels.py). Shared with the panel
-# pipeline's B-split schedule, whose col_tiles units must match block[1].
+# Tuned v5e default block (scripts/tune_kernels.py). Shared with the panel
+# pipeline's B-split schedule, whose col_tiles units must match block[1]
+# (that path pins this constant rather than the launch table).
 ENC_BLOCK = (64, 512)
-# MXU-path block: minimal sublanes (the W'' redundancy prices at bm x),
+# MXU-path v5e block: minimal sublanes (the W'' redundancy prices at bm x),
 # wide second dim (amortizes per-step overhead) — same shape logic as
-# REC_MXU_BLOCK.
+# REC_MXU_BLOCK. Default dispatch goes through launch.get (device-keyed).
 ENC_MXU_BLOCK = (8, 4096)
 
 
@@ -622,7 +626,12 @@ def encode_slices_pallas(x, sft, num_moduli: int, axis: int,
         mxu = mxu_enc_default()
     mxu = mxu and col_tiles is None
     if block is None:
-        block = ENC_MXU_BLOCK if mxu else ENC_BLOCK
+        if col_tiles is not None:
+            block = ENC_BLOCK   # pipelined B-split tile-unit contract
+        else:
+            from . import launch
+
+            block = launch.get("enc_mxu" if mxu else "enc_vpu")
     bm, bk = block
     bm, bk = min(bm, _ceil_to(m, 8)), min(bk, _ceil_to(k, 128))
     mp, kp = _ceil_to(m, bm), _ceil_to(k, bk)
@@ -801,12 +810,14 @@ def mxu_crt_default() -> bool:
     return os.environ.get("GEMMUL8_MXU_CRT", "1") == "1"
 
 
-def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
+def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues",
+              e_extra: int = 0):
     if input_kind == "limbs":
         # canonical 16-bit limbs of the weighted CRT sum, straight from the
         # fused matmul epilogue (matmul_crt_pallas) — skip accumulation
         x = [c32[i] for i in range(c32.shape[0])]
-        return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind)
+        return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind,
+                              e_extra=e_extra)
     if c32.dtype == jnp.int8:
         # pre-centered residues (matmul centered=True epilogue)
         r = [c32[j].astype(_I32) + _I32(128) for j in range(num_moduli)]
@@ -822,17 +833,23 @@ def _rec_body(c32, sft_a, sft_b, num_moduli, out_kind, input_kind="residues"):
             else:
                 r.append(mod_i32(c32[j], mj))
     x = rec.accumulate_weighted(jnp.stack(r, 0), num_moduli)
-    return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind)
+    return _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind,
+                          e_extra=e_extra)
 
 
-def _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind, e_fix=None):
+def _finalize_tile(x, sft_a, sft_b, num_moduli, out_kind, e_fix=None,
+                   e_extra: int = 0):
     """mod-M centering + inverse scaling + IEEE rounding from canonical
     weighted-sum limbs (the tail every reconstruct body shares).
     e_fix overrides the -(sft_a + sft_b) exponent (the column-strip tail
     passes a pre-broadcast slice: Mosaic rejects lane-offset slices of a
-    (1, bn) operand inside a broadcast add)."""
+    (1, bn) operand inside a broadcast add). e_extra is the static
+    power-of-two-alpha exponent folded into the inverse scaling (see
+    rec.reconstruct)."""
     if e_fix is None:
-        e_fix = -(sft_a + sft_b)
+        e_fix = _I32(e_extra) - (sft_a + sft_b)
+    elif e_extra:
+        e_fix = e_fix + _I32(e_extra)
     mag, negf = rec._mod_m_centered(x, num_moduli)
     if out_kind == "f64":
         eb, mant = rec._round_to_float(mag, negf, e_fix, 53)
@@ -853,7 +870,8 @@ REC_MXU_BLOCK = (8, 4096)
 
 def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
                        block=None, input_kind: str = "residues",
-                       mxu: bool | None = None, tail_chunk: int = 0):
+                       mxu: bool | None = None, tail_chunk: int = 0,
+                       e_extra: int = 0):
     """Fused mod-reduce + CRT + inverse scaling. c32: (L, m, n) int32 slice
     products / uint8 residues, or (num_limbs, m, n) canonical limbs when
     input_kind="limbs"; sft_a (m,1), sft_b (1,n). Returns F64Bits or f32.
@@ -873,7 +891,9 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
         mxu = mxu_crt_default()
     mxu = mxu and input_kind == "residues"
     if block is None:
-        block = REC_MXU_BLOCK if mxu else (32, 256)
+        from . import launch
+
+        block = launch.get("rec_mxu" if mxu else "rec_vpu")
     bm, bn = block
     # shrink for small problems (the defaults target the headline sizes)
     bm, bn = min(bm, _ceil_to(m, 8)), min(bn, _ceil_to(n, 128))
@@ -907,14 +927,16 @@ def reconstruct_pallas(c32, sft_a, sft_b, num_moduli: int, out_kind: str,
         if mxu:
             rc2 = _centered_residues(c, num_moduli)
             x = _crt_accumulate_mxu(rc2, w, num_moduli, cl, bm, bn)
-            return _finalize_tile(x, sa, sb, num_moduli, out_kind)
-        return _rec_body(c, sa, sb, num_moduli, out_kind, input_kind)
+            return _finalize_tile(x, sa, sb, num_moduli, out_kind,
+                                  e_extra=e_extra)
+        return _rec_body(c, sa, sb, num_moduli, out_kind, input_kind,
+                         e_extra)
 
     def chunked_write(c, sa, sb, w, out_refs):
         # per-strip ref writes: the tail chain stays register-resident
         rc2 = _centered_residues(c, num_moduli)
         x = _crt_accumulate_mxu(rc2, w, num_moduli, cl, bm, bn)
-        ef = -(sa + sb)     # broadcast once; strips slice the 2D result
+        ef = _I32(e_extra) - (sa + sb)  # broadcast once; strips slice it
         for c0 in range(0, bn, tail_chunk):
             xs = [xl[:, c0:c0 + tail_chunk] for xl in x]
             outs = _finalize_tile(xs, sa, sb, num_moduli, out_kind,

@@ -94,7 +94,7 @@ def barrett_reduce(x, mj, rj, bias, fix_steps):
 
 def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
                          moduli_idx=None,
-                         block=(1024, 512, 8192),
+                         block=None,
                          centered: bool = False) -> jax.Array:
     """Batched int8 matmul with the Barrett mod-reduce fused into the
     epilogue: emits (L, m, n) uint8 canonical residues (1 byte/elem HBM
@@ -109,6 +109,10 @@ def matmul_mod_u8_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,
     if moduli_idx is None:
         moduli_idx = tuple(range(num_moduli))
     assert L == len(moduli_idx)
+    if block is None:
+        from . import launch
+
+        block = launch.get("matmul")
     bm, bn, bk = block
     # shrink tiles for small problems (tuned defaults target >= 4096^2)
     bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
@@ -290,9 +294,11 @@ def matmul_mod_u8(a8: jax.Array, b8: jax.Array, num_moduli: int,
     8192^3/14, see PERF_NOTES.md) or the tuned k-tiled kernel."""
     import os
 
+    from . import launch
+
     _, m, k = a8.shape
     n = b8.shape[2]
-    bm, bn, bk = 1024, 512, 8192
+    bm, bn, bk = launch.get("matmul")
     if (not centered
             and os.environ.get("GEMMUL8_MM_PIPELINE") == "1" and k <= bk
             and (min(bm, _ceil_to(m, 128)) + min(bn, _ceil_to(n, 128)))
@@ -303,8 +309,7 @@ def matmul_mod_u8(a8: jax.Array, b8: jax.Array, num_moduli: int,
                                 centered=centered)
 
 
-def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,
-                         block=(1024, 1024, 8192)):
+def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array, block=None):
     """|A| x |B| magnitude GEMM with row/col max epilogue fused: returns
     (smax_row (m, 1), smax_col (1, n)) int32 — the accurate-mode
     product-magnitude bounds, WITHOUT materializing the (m, n) int32
@@ -312,6 +317,10 @@ def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array,
     scaling.hpp:3110-3121). Operands are nonnegative 7-bit magnitudes."""
     m, k = a8.shape
     _, n = b8.shape
+    if block is None:
+        from . import launch
+
+        block = launch.get("magmax")
     bm, bn, bk = block
     bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
         min(bk, _ceil_to(k, 128))

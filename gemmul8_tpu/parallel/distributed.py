@@ -200,35 +200,78 @@ def _sharded_body(a, b, num_moduli: int, out_kind: str, ny: int,
 
 
 def _sharded_body_complex(a_re, a_im, b_re, b_im, num_moduli: int,
-                          out_kind: str, ny: int, use_pallas: bool = False):
-    """COMPLEX_BIG_MATRIX_ENCODE under the mesh: Re/Im of each row/col
-    share one joint shift (stats psum/pmax'd over the k-sharded 'y'), the
-    encoded slices are assembled into the [[Re, -Im], [Im, Re]] block form
-    LOCALLY (shape-doubling commutes with k-sharding: the doubled
-    contraction dim is just two stacked k-sharded halves), and ONE int8
-    GEMM of doubled size per modulus runs per shard — same math as the
-    single-device big-matrix path (core.complexgemm:158-170), so the
-    per-shard int32 partials sum exactly over y."""
+                          out_kind: str, ny: int, use_pallas: bool = False,
+                          compute_type=None):
+    """Complex strategies under the mesh, all three first-class (parity
+    with gemmul8.cu:579-1052; VERDICT r4 item 5):
+
+    - BIG_MATRIX_ENCODE: Re/Im of each row/col share one joint shift
+      (stats psum/pmax'd over the k-sharded 'y'), the encoded slices are
+      assembled into the [[Re, -Im], [Im, Re]] block form LOCALLY
+      (shape-doubling commutes with k-sharding: the doubled contraction
+      dim is just two stacked k-sharded halves), and ONE int8 GEMM of
+      doubled size per modulus runs per shard.
+    - CLASSIC_MULT: 4 local slice GEMMs; Re = RR-II, Im = RI+IR combined
+      in int32 partial space BEFORE the scatter (int32-exact: the bound
+      is on global k, enforced at entry).
+    - KARATSUBA_MULT: the re-centered (Re+Im) slices are built PER SHARD
+      (_recenter_add_int8 is elementwise over the local k-slab, so it
+      commutes with k-sharding); 3 local GEMMs, E-F / G-E-F combined
+      locally, one scatter.
+
+    All paths end in the same exact integer psum_scatter over 'y' +
+    per-shard reconstruct; operand widths may differ (per-operand encode
+    dispatch, same as single-device)."""
+    from ..core.complexgemm import _recenter_add_int8
+    from ..types import ComputeType
+
+    if compute_type is None:
+        compute_type = ComputeType.COMPLEX_BIG_MATRIX_ENCODE
     br_full = _gather_b(b_re)
     bi_full = _gather_b(b_im)
     a8r, a8i, sft_a = enc.encode_fast_complex(a_re, a_im, num_moduli,
                                               axis=1, axis_name="y")
     b8r, b8i, sft_b = enc.encode_fast_complex(br_full, bi_full, num_moduli,
                                               axis=0, axis_name="y")
-    neg_a8i = (-a8i.astype(jnp.int32)).astype(jnp.int8)
-    top = jnp.concatenate([a8r, neg_a8i], axis=2)
-    bot = jnp.concatenate([a8i, a8r], axis=2)
-    a_blk = jnp.concatenate([top, bot], axis=1)      # (L, 2m/x, 2k/y)
-    b_blk = jnp.concatenate([b8r, b8i], axis=1)      # (L, 2k/y, n)
-    c32_partial = sg.slice_products(a_blk, b_blk)    # (L, 2m/x, n)
-    sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
-    out = _scatter_reconstruct(c32_partial, sft_a2, sft_b, num_moduli,
-                               out_kind, use_pallas)
     m_local = a_re.shape[0]
-    if out_kind == "f64":
-        return (F64Bits(out.hi[:m_local], out.lo[:m_local]),
-                F64Bits(out.hi[m_local:], out.lo[m_local:]))
-    return out[:m_local], out[m_local:]
+
+    def split(out):
+        if out_kind == "f64":
+            return (F64Bits(out.hi[:m_local], out.lo[:m_local]),
+                    F64Bits(out.hi[m_local:], out.lo[m_local:]))
+        return out[:m_local], out[m_local:]
+
+    if compute_type == ComputeType.COMPLEX_BIG_MATRIX_ENCODE:
+        neg_a8i = (-a8i.astype(jnp.int32)).astype(jnp.int8)
+        top = jnp.concatenate([a8r, neg_a8i], axis=2)
+        bot = jnp.concatenate([a8i, a8r], axis=2)
+        a_blk = jnp.concatenate([top, bot], axis=1)    # (L, 2m/x, 2k/y)
+        b_blk = jnp.concatenate([b8r, b8i], axis=1)    # (L, 2k/y, n)
+        c32_partial = sg.slice_products(a_blk, b_blk)  # (L, 2m/x, n)
+        sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
+        return split(_scatter_reconstruct(c32_partial, sft_a2, sft_b,
+                                          num_moduli, out_kind, use_pallas))
+    if compute_type == ComputeType.COMPLEX_CLASSIC_MULT:
+        rr = sg.slice_products(a8r, b8r)
+        ii = sg.slice_products(a8i, b8i)
+        ri = sg.slice_products(a8r, b8i)
+        ir = sg.slice_products(a8i, b8r)
+        re_part, im_part = rr - ii, ri + ir
+    elif compute_type == ComputeType.COMPLEX_KARATSUBA_MULT:
+        s_a = _recenter_add_int8(a8r, a8i, num_moduli)
+        s_b = _recenter_add_int8(b8r, b8i, num_moduli)
+        e = sg.slice_products(a8r, b8r)
+        f = sg.slice_products(a8i, b8i)
+        g = sg.slice_products(s_a, s_b)
+        re_part, im_part = e - f, g - e - f
+    else:
+        raise ValueError(compute_type)
+    # one scatter over [Re; Im] stacked along rows (the pair analog of
+    # the single-device _reconstruct_pair)
+    c2 = jnp.concatenate([re_part, im_part], axis=1)
+    sft_a2 = jnp.concatenate([sft_a, sft_a], axis=0)
+    return split(_scatter_reconstruct(c2, sft_a2, sft_b, num_moduli,
+                                      out_kind, use_pallas))
 
 
 @lru_cache(maxsize=None)
@@ -287,15 +330,21 @@ def gemm_sharded(a, b, mesh: Mesh, num_moduli: int = 14,
 
 @lru_cache(maxsize=None)
 def _build_sharded_complex(mesh, num_moduli: int, out_kind: str,
-                           is_f64: bool, use_pallas: bool = False):
+                           is_f64_a: bool, is_f64_b: bool,
+                           use_pallas: bool = False, compute_type=None):
     ny = mesh.shape["y"]
-    part = (lambda s: F64Bits(s, s)) if is_f64 else (lambda s: s)
-    a_spec = part(P("x", "y"))
-    b_spec = part(P("y", "x"))
-    out_spec = part(P("x", "y")) if out_kind == "f64" else P("x", "y")
+    part_a = (lambda s: F64Bits(s, s)) if is_f64_a else (lambda s: s)
+    part_b = (lambda s: F64Bits(s, s)) if is_f64_b else (lambda s: s)
+    a_spec = part_a(P("x", "y"))
+    b_spec = part_b(P("y", "x"))
+    if out_kind == "f64":
+        out_spec = F64Bits(P("x", "y"), P("x", "y"))
+    else:
+        out_spec = P("x", "y")
     fn = jax.shard_map(
         partial(_sharded_body_complex, num_moduli=num_moduli,
-                out_kind=out_kind, ny=ny, use_pallas=use_pallas),
+                out_kind=out_kind, ny=ny, use_pallas=use_pallas,
+                compute_type=compute_type),
         mesh=mesh, in_specs=(a_spec, a_spec, b_spec, b_spec),
         out_specs=(out_spec, out_spec), check_vma=False)
     return jax.jit(fn)
@@ -303,14 +352,22 @@ def _build_sharded_complex(mesh, num_moduli: int, out_kind: str,
 
 def gemm_sharded_complex(a, b, mesh: Mesh, num_moduli: int = 14,
                          out_dtype: Optional[str] = None,
-                         use_pallas: Optional[bool] = None):
-    """Complex emulated GEMM sharded over `mesh` via the big-matrix
-    encoding (fast mode): operands are complex numpy arrays or canonical
-    (re, im) tuples; returns (re, im) sharded P('x','y') in the target
-    real format. k-sharding commutes with the shape-doubling (SURVEY §7):
-    each shard's doubled-k block GEMM partial sums exactly over 'y'."""
-    from ..core.complexgemm import _canon_complex
+                         use_pallas: Optional[bool] = None,
+                         compute_type=None):
+    """Complex emulated GEMM sharded over `mesh` (fast mode): operands are
+    complex numpy arrays or canonical (re, im) tuples — widths may DIFFER
+    between A and B (per-operand encode dispatch, like single-device);
+    returns (re, im) sharded P('x','y') in the target real format.
 
+    compute_type selects the strategy (default big-matrix); all three are
+    shardable — k-sharding commutes with the big-matrix shape-doubling,
+    with classic's 4-product combine, and with karatsuba's re-centered
+    residue adds (SURVEY §7; reference gemmul8.cu:579-1052)."""
+    from ..core.complexgemm import _KMAX, _canon_complex
+    from ..types import ComputeType
+
+    if compute_type in (None, ComputeType.REAL_DEFAULT):
+        compute_type = ComputeType.COMPLEX_BIG_MATRIX_ENCODE
     a_re, a_im, kind_a = _canon_complex(a) if not isinstance(a, tuple) else \
         (a[0], a[1], "c128" if isinstance(a[0], F64Bits) else "c64")
     b_re, b_im, kind_b = _canon_complex(b) if not isinstance(b, tuple) else \
@@ -319,20 +376,21 @@ def gemm_sharded_complex(a, b, mesh: Mesh, num_moduli: int = 14,
     k2, n = b_re.shape
     if k != k2:
         raise ValueError(f"inner dims mismatch: {a_re.shape} x {b_re.shape}")
-    if 2 * k > tables.MAX_K:
-        raise ValueError("2k exceeds the big-matrix int32-exactness bound")
+    if k > _KMAX[compute_type]:
+        raise ValueError(
+            f"k={k} exceeds the int32-exactness bound for {compute_type}")
     nx, ny = mesh.shape["x"], mesh.shape["y"]
     if m % nx or k % ny or n % ny or n % nx:
         raise ValueError(f"shapes ({m},{k},{n}) must divide mesh {nx}x{ny}")
-    is64 = isinstance(a_re, F64Bits)
+    is64a = isinstance(a_re, F64Bits)
+    is64b = isinstance(b_re, F64Bits)
     out_kind = out_dtype or ("f64" if "c128" in (kind_a, kind_b) else "f32")
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if is64 != isinstance(b_re, F64Bits):
-        raise NotImplementedError("mixed complex widths: canonicalize first")
-    fn = _build_sharded_complex(mesh, num_moduli, out_kind, is64, use_pallas)
-    pa = _sharding_for(mesh, P("x", "y"), is64)
-    pb = _sharding_for(mesh, P("y", "x"), is64)
+    fn = _build_sharded_complex(mesh, num_moduli, out_kind, is64a, is64b,
+                                use_pallas, compute_type)
+    pa = _sharding_for(mesh, P("x", "y"), is64a)
+    pb = _sharding_for(mesh, P("y", "x"), is64b)
     return fn(jax.device_put(a_re, pa), jax.device_put(a_im, pa),
               jax.device_put(b_re, pb), jax.device_put(b_im, pb))
 

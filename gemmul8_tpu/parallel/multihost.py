@@ -1,0 +1,92 @@
+"""Multi-host (pod-slice / multi-process) entry path.
+
+The sharded engine (parallel.distributed) is mesh-agnostic: once
+`jax.distributed.initialize()` has run, `jax.devices()` spans every host
+and `make_mesh`/`gemm_sharded` work unchanged — collectives ride ICI
+within a slice and DCN across slices, both inserted by XLA from the same
+psum/psum_scatter the single-host path uses. What was missing (VERDICT r4
+item 1/4) is the initialization entry a pod user runs; this module is it.
+
+Launch procedure (one command per host/process):
+
+    GEMMUL8_COORD=<host0-addr:port> GEMMUL8_NPROC=<N> GEMMUL8_PROC_ID=<i> \
+        python your_script.py          # which calls initialize_from_env()
+
+On Cloud TPU pod slices the three variables are optional:
+`jax.distributed.initialize()` auto-discovers the coordinator and process
+count from the TPU metadata, so `initialize_from_env()` with no env set
+still does the right thing there (and is a no-op on a single process
+without any cluster context). `scripts/weak_scaling.py` calls this first,
+so the same script measures 1 chip, 1 host, and N hosts.
+
+A 2-process 1-host CPU smoke of this exact path (gloo collectives over
+the sharded engine) runs in CI: tests/test_multihost.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_ENV_COORD = "GEMMUL8_COORD"
+_ENV_NPROC = "GEMMUL8_NPROC"
+_ENV_PROCID = "GEMMUL8_PROC_ID"
+_ENV_LOCAL_IDS = "GEMMUL8_LOCAL_DEVICE_IDS"
+
+_initialized = False
+
+
+def initialize_from_env(force_cpu: bool = False) -> bool:
+    """Initialize jax.distributed from GEMMUL8_* env (or TPU-pod
+    auto-discovery). Returns True if a multi-process runtime was (or
+    already had been) initialized, False when running single-process.
+
+    force_cpu: pin the CPU backend BEFORE backend init (the jax.config
+    route — the axon plugin overrides the JAX_PLATFORMS env var; see
+    CLAUDE.md). Used by the CI smoke and CPU-only multi-process runs."""
+    global _initialized
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if _initialized:
+        return True
+    coord = os.environ.get(_ENV_COORD)
+    nproc = os.environ.get(_ENV_NPROC)
+    pid = os.environ.get(_ENV_PROCID)
+    kwargs = {}
+    if coord is not None:
+        kwargs["coordinator_address"] = coord
+    if nproc is not None:
+        kwargs["num_processes"] = int(nproc)
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    ids = os.environ.get(_ENV_LOCAL_IDS)
+    if ids:
+        kwargs["local_device_ids"] = [int(v) for v in ids.split(",")]
+    if not kwargs and not _on_pod():
+        return False  # single-process run: nothing to initialize
+    jax.distributed.initialize(**kwargs)
+    _initialized = True
+    return True
+
+
+def _on_pod() -> bool:
+    """Whether MULTI-worker TPU-pod auto-discovery context is present.
+    TPU_WORKER_HOSTNAMES must list >1 hosts: single-entry values appear on
+    plain single-host runtimes too (the axon plugin injects 'localhost'),
+    where auto-initialize would fail for lack of a coordinator."""
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return "," in hosts
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def process_summary() -> str:
+    return (f"process {jax.process_index()}/{jax.process_count()}: "
+            f"{jax.local_device_count()} local of "
+            f"{jax.device_count()} global devices")
