@@ -98,6 +98,36 @@ def _joint_sft_pallas(re, im, num_moduli, axis):
     return enc.sft_from_stats(emax, nrm2, af, k_total, num_moduli, mant_bits)
 
 
+def _mag7_complex_pallas(re, im, axis):
+    """Pallas joint round-up magnitude bound (|re|+|im| at the shared
+    emax) — bit-identical to enc.mag7_complex (max and extraction are
+    order-independent)."""
+    from ..pallas import kernels as pk
+
+    emax = jnp.maximum(pk.emax_pallas(re, axis), pk.emax_pallas(im, axis))
+    mr = pk.mag7_pallas(re, emax, axis, enc.MAG_SHIFT_COMPLEX).astype(_I32)
+    mi = pk.mag7_pallas(im, emax, axis, enc.MAG_SHIFT_COMPLEX).astype(_I32)
+    return (mr + mi).astype(jnp.int8), emax
+
+
+def _accurate_sfts_pallas(a_re, a_im, b_re, b_im, num_moduli):
+    """Accurate-mode complex shifts on the Pallas kernels: joint-emax
+    mag7 per operand + the fused row/col-max magnitude GEMM (no (m, n)
+    int32 round trip) — bit-identical to _accurate_sfts."""
+    from ..pallas import matmul as pm
+
+    mag_a, emax_a = _mag7_complex_pallas(a_re, a_im, 1)
+    mag_b, emax_b = _mag7_complex_pallas(b_re, b_im, 0)
+    smax_a, smax_b = pm.magmax_matmul_pallas(mag_a, mag_b)
+    mant_a = 53 if isinstance(a_re, F64Bits) else 24
+    mant_b = 53 if isinstance(b_re, F64Bits) else 24
+    sft_a = enc.accurate_sft(smax_a, emax_a, num_moduli, mant_a,
+                             enc.MAG_SHIFT_COMPLEX)
+    sft_b = enc.accurate_sft(smax_b, emax_b, num_moduli, mant_b,
+                             enc.MAG_SHIFT_COMPLEX)
+    return sft_a, sft_b
+
+
 def _encode_complex_operands(a_re, a_im, b_re, b_im, num_moduli, fastmode,
                              use_pallas=False):
     if fastmode and use_pallas:
@@ -112,6 +142,15 @@ def _encode_complex_operands(a_re, a_im, b_re, b_im, num_moduli, fastmode,
     elif fastmode:
         a8r, a8i, sft_a = enc.encode_fast_complex(a_re, a_im, num_moduli, 1)
         b8r, b8i, sft_b = enc.encode_fast_complex(b_re, b_im, num_moduli, 0)
+    elif use_pallas:
+        from ..pallas import kernels as pk
+
+        sft_a, sft_b = _accurate_sfts_pallas(a_re, a_im, b_re, b_im,
+                                             num_moduli)
+        a8r = pk.encode_slices_pallas(a_re, sft_a, num_moduli, axis=1)
+        a8i = pk.encode_slices_pallas(a_im, sft_a, num_moduli, axis=1)
+        b8r = pk.encode_slices_pallas(b_re, sft_b, num_moduli, axis=0)
+        b8i = pk.encode_slices_pallas(b_im, sft_b, num_moduli, axis=0)
     else:
         sft_a, sft_b = _accurate_sfts(a_re, a_im, b_re, b_im, num_moduli)
         a8r, a8i = enc.encode_accurate_complex(a_re, a_im, sft_a, num_moduli)
@@ -158,6 +197,36 @@ def gemm_complex_core(a_re, a_im, b_re, b_im, num_moduli: int,
 
     a8r, a8i, sft_a, b8r, b8i, sft_b = _encode_complex_operands(
         a_re, a_im, b_re, b_im, num_moduli, fastmode, use_pallas)
+
+    if use_pallas:
+        # Performance path (VERDICT r4 item 3): ONE fused Pallas kernel
+        # computes the Re/Im residue products with the Barrett epilogue
+        # — the same engine that carried the real path past 1.0x — then
+        # the MXU-CRT reconstruct consumes the centered residues. The
+        # big-matrix quadrant concat is algebraically the 4-dot
+        # accumulate (the reference's [[Re,-Im],[Im,Re]] block GEMM,
+        # gemmul8.cu:579-723, with the concat rewritten as accumulate-
+        # in-place: identical exact integer sums, bit-identical
+        # residues), so BIG_MATRIX and CLASSIC share the kernel;
+        # KARATSUBA runs its 3-dot schedule (gemmul8.cu:725-890).
+        from ..pallas import kernels as pk
+        from ..pallas import matmul as pm
+
+        ctr = pk.mxu_crt_default()
+        if compute_type == ComputeType.COMPLEX_KARATSUBA_MULT:
+            s_a = _recenter_add_int8(a8r, a8i, num_moduli)
+            s_b = _recenter_add_int8(b8r, b8i, num_moduli)
+            r8re, r8im = pm.matmul_complex_mod_pallas(
+                a8r, a8i, b8r, b8i, num_moduli, centered=ctr,
+                kara=(s_a, s_b))
+        else:
+            r8re, r8im = pm.matmul_complex_mod_pallas(
+                a8r, a8i, b8r, b8i, num_moduli, centered=ctr)
+        out_re = pk.reconstruct_pallas(r8re, sft_a, sft_b, num_moduli,
+                                       out_kind, mxu=ctr, e_extra=e_extra)
+        out_im = pk.reconstruct_pallas(r8im, sft_a, sft_b, num_moduli,
+                                       out_kind, mxu=ctr, e_extra=e_extra)
+        return out_re, out_im
 
     if compute_type == ComputeType.COMPLEX_BIG_MATRIX_ENCODE:
         neg_a8i = (-a8i.astype(_I32)).astype(jnp.int8)

@@ -458,9 +458,90 @@ def mag7_pallas(x, emax, axis: int, mag_shift: int = 5, block=(256, 512)):
     return out[:m, :k]
 
 
+def mag7_fused_pallas(x, axis: int, mag_shift: int = 5,
+                      block_rows: int | None = None):
+    """Accurate-mode max-exponent AND 7-bit magnitude extraction in ONE
+    kernel pass (full contraction extent resident; max is order-
+    independent so blocking is bit-exact).
+
+    MEASURED A WASH on v5e (8192^2: ax1 5.14 vs 4.62 ms two-kernel at
+    br=128, ax0 4.59 vs 4.62; br<=64 fails Mosaic lowering) — the wide
+    resident block costs the extraction what the saved read gains, the
+    same mechanism that killed the fast-mode stats+encode fusion
+    (PERF_NOTES.md). Kept opt-in via GEMMUL8_FUSED_MAG7=1.
+
+    Returns (mag (d0,d1) int8, emax keepdims int32)."""
+    is64 = isinstance(x, F64Bits)
+    mant_bits = 53 if is64 else 24
+    d0, d1 = x.shape
+    rows, kdim = (d0, d1) if axis == 1 else (d1, d0)
+    if block_rows is None:
+        block_rows = 128    # smaller row blocks fail Mosaic lowering
+    br = min(block_rows, rows)
+    rp, kp = _ceil_to(rows, br), _ceil_to(kdim, 128)
+    grid = (rp // br,)
+
+    def prep(arr):
+        pad = ((0, rp - rows), (0, kp - kdim)) if axis == 1 \
+            else ((0, kp - kdim), (0, rp - rows))
+        return jnp.pad(arr, pad)
+
+    if is64:
+        inputs = (prep(x.hi), prep(x.lo))
+    else:
+        bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+        inputs = (prep(bits),)
+
+    def kern(*refs):
+        in_refs = refs[:len(inputs)]
+        mag_ref, e_ref = refs[len(inputs):]
+        if is64:
+            chunks, exp, sign, normal = enc._f64_fields(in_refs[0][:],
+                                                        in_refs[1][:])
+        else:
+            chunks, exp, sign, normal = enc._f32_fields(in_refs[0][:])
+        emax = jnp.max(jnp.where(normal, exp, _I32(0)), axis=axis,
+                       keepdims=True)
+        e_ref[:] = emax
+        mag_ref[:] = enc._extract_mag7(chunks, exp, normal, emax,
+                                       mant_bits, mag_shift)
+
+    if axis == 1:
+        data_spec = pl.BlockSpec((br, kp), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((br, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        out_shape = (jax.ShapeDtypeStruct((rp, kp), jnp.int8),
+                     jax.ShapeDtypeStruct((rp, 1), jnp.int32))
+    else:
+        data_spec = pl.BlockSpec((kp, br), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((1, br), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        out_shape = (jax.ShapeDtypeStruct((kp, rp), jnp.int8),
+                     jax.ShapeDtypeStruct((1, rp), jnp.int32))
+    mag, emax = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[data_spec] * len(inputs),
+        out_specs=(data_spec, e_spec),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*inputs)
+    if axis == 1:
+        return mag[:rows, :kdim], emax[:rows]
+    return mag[:kdim, :rows], emax[:, :rows]
+
+
 def mag7_operand_pallas(x, axis: int, mag_shift: int = 5):
     """(magnitudes int8, emax keepdims) for one operand — the Pallas
-    counterpart of enc.mag7_f64 / enc.mag7_f32 (bit-exact)."""
+    counterpart of enc.mag7_f64 / enc.mag7_f32 (bit-exact). Two-kernel
+    pair by default; GEMMUL8_FUSED_MAG7=1 opts into the measured-wash
+    fused variant (see mag7_fused_pallas)."""
+    if os.environ.get("GEMMUL8_FUSED_MAG7", "0") == "1":
+        return mag7_fused_pallas(x, axis, mag_shift)
     emax = emax_pallas(x, axis)
     return mag7_pallas(x, emax, axis, mag_shift), emax
 

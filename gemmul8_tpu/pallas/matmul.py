@@ -309,12 +309,100 @@ def matmul_mod_u8(a8: jax.Array, b8: jax.Array, num_moduli: int,
                                 centered=centered)
 
 
+def magmax_matmul_scratch(a8: jax.Array, b8: jax.Array, block=None):
+    """magmax with the cross-tile max fold DEFERRED to XLA: each (i, j)
+    tile writes its row/col maxes to its OWN static output block, and two
+    tiny XLA reductions finish the fold.
+
+    MEASURED SLOWER on v5e (13.6 ms at (1024,512,8192) vs 7.66 for the
+    in-kernel fold; 7.87 at (2048,512)): the per-(i,j) output flushes of
+    the broadcast max blocks cost more than the lane-dynamic scratch
+    store they replace. Kept opt-in (GEMMUL8_MAGMAX_SCRATCH=1) as the
+    measured record — the unbatched-dot floor itself is ~4.9 ms in this
+    grid (matmul_mod_u8 at L=1 measures the same), so magmax's realistic
+    ceiling is ~5.5 ms, not the 3.1 ms batched-amortized rate."""
+    m, k = a8.shape
+    _, n = b8.shape
+    if block is None:
+        from . import launch
+
+        block = launch.get("magmax")
+    bm, bn, bk = block
+    bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
+        min(bk, _ceil_to(k, 128))
+    mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
+    a8p = jnp.pad(a8, ((0, mp - m), (0, kp - k)))
+    b8p = jnp.pad(b8, ((0, kp - k), (0, np_ - n)))
+    mi, nj = mp // bm, np_ // bn
+    grid = (mi, nj, kp // bk)
+
+    def kern(a_ref, b_ref, row_ref, col_ref, acc_ref):
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+        @pl.when(kk == pl.num_programs(2) - 1)
+        def _():
+            # per-tile maxes, broadcast to the minimal legal block shapes
+            rmax = jnp.max(acc_ref[:], axis=1, keepdims=True)   # (bm, 1)
+            cmax = jnp.max(acc_ref[:], axis=0, keepdims=True)   # (1, bn)
+            row_ref[:] = jnp.broadcast_to(rmax, (bm, 128))
+            col_ref[:] = jnp.broadcast_to(cmax, (8, bn))
+
+    row, col = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        # every (i, j) owns a distinct block: no revisits, no dynamics
+        out_specs=(
+            pl.BlockSpec((bm, 128), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((mp, 128 * nj), jnp.int32),
+                   jax.ShapeDtypeStruct((8 * mi, np_), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * 128 * nj * 4
+            + 8 * mi * np_ * 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(a8p, b8p)
+    # finish the fold on XLA: max over the per-tile groups (tiny)
+    smax_row = jnp.max(row.reshape(mp, nj, 128), axis=(1, 2),
+                       keepdims=False)[:m, None]
+    smax_col = jnp.max(col.reshape(mi, 8, np_), axis=(0, 1),
+                       keepdims=False)[None, :n]
+    return smax_row, smax_col
+
+
 def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array, block=None):
     """|A| x |B| magnitude GEMM with row/col max epilogue fused: returns
     (smax_row (m, 1), smax_col (1, n)) int32 — the accurate-mode
     product-magnitude bounds, WITHOUT materializing the (m, n) int32
     product to HBM (reference runs one full GemmEx and reduces it,
-    scaling.hpp:3110-3121). Operands are nonnegative 7-bit magnitudes."""
+    scaling.hpp:3110-3121). Operands are nonnegative 7-bit magnitudes.
+
+    GEMMUL8_MAGMAX_SCRATCH=1 opts into the deferred-fold variant
+    (bit-identical; measured slower — see magmax_matmul_scratch)."""
+    import os
+
+    if os.environ.get("GEMMUL8_MAGMAX_SCRATCH", "0") == "1":
+        return magmax_matmul_scratch(a8, b8, block)
     m, k = a8.shape
     _, n = b8.shape
     if block is None:
@@ -399,6 +487,150 @@ def magmax_matmul_pallas(a8: jax.Array, b8: jax.Array, block=None):
     smax_row = jnp.max(row[:m], axis=1, keepdims=True)
     smax_col = jnp.max(col[:, :n], axis=0, keepdims=True)
     return smax_row, smax_col
+
+
+def matmul_complex_mod_pallas(a8r, a8i, b8r, b8i, num_moduli: int,
+                              moduli_idx=None, block=None,
+                              centered: bool = False,
+                              kara=None):
+    """Fused COMPLEX slice matmul with the Barrett epilogue: computes the
+    residue products of (Re_a + i Im_a)(Re_b + i Im_b) per modulus and
+    emits centered int8 / canonical uint8 residues for Re and Im — the
+    complex analog of matmul_mod_u8_pallas (VERDICT r4 item 3).
+
+    Default (4-dot) schedule per grid step:
+        acc_re += ReA.ReB - ImA.ImB ; acc_im += ImA.ReB + ReA.ImB
+    This is algebraically the reference's BIG_MATRIX block GEMM
+    ([[Re,-Im],[Im,Re]] @ [Re;Im], gemmul8.cu:579-723) with the quadrant
+    concatenation rewritten as accumulate-in-place — same exact integer
+    sums, so the residues are BIT-IDENTICAL to both the big-matrix and
+    classic jnp paths, but the (L, 2m, 2k) block tensor and the (L, 2m,
+    n) int32 product never exist in HBM.
+
+    kara=(s_a, s_b) switches to the 3-dot Karatsuba schedule
+    (E=ReA.ReB, F=ImA.ImB, G=s_a.s_b; Re=E-F, Im=G-E-F,
+    gemmul8.cu:725-890) with the re-centered sum slices precomputed by
+    the caller — 25% fewer MXU ops at one extra operand stream each way.
+
+    int32 exactness: |acc| <= 2 (classic) / 3 (kara) * 128^2 * k — the
+    caller enforces the strategy's global-k bound (complexgemm._KMAX);
+    barrett_fixup_params gets the matching effective kp."""
+    L, m, k = a8r.shape
+    _, _, n = b8r.shape
+    if moduli_idx is None:
+        moduli_idx = tuple(range(num_moduli))
+    assert L == len(moduli_idx)
+    if block is None:
+        from . import launch
+
+        block = launch.get("matmul")
+    bm, bn, bk = block
+    bm, bn, bk = min(bm, _ceil_to(m, 128)), min(bn, _ceil_to(n, 128)), \
+        min(bk, _ceil_to(k, 128))
+    mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
+
+    def pad3(t):
+        return jnp.pad(t, ((0, 0), (0, mp - m), (0, kp - k))) \
+            if t.shape[1] == m else \
+            jnp.pad(t, ((0, 0), (0, kp - k), (0, np_ - n)))
+
+    a_ops = [pad3(a8r), pad3(a8i)]
+    b_ops = [pad3(b8r), pad3(b8i)]
+    if kara is not None:
+        a_ops.append(pad3(kara[0]))
+        b_ops.append(pad3(kara[1]))
+    grid = (L, mp // bm, np_ // bn, kp // bk)
+    mods, recips = moduli_consts(moduli_idx)
+    kp_eff = (3 if kara is not None else 2) * kp
+    bias, fix_steps = barrett_fixup_params(kp_eff, moduli_idx)
+
+    def dot(a_ref, b_ref):
+        return jax.lax.dot_general(
+            a_ref[0], b_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def emit(o_ref, x, l, mods_ref, recips_ref):
+        r = barrett_reduce(x, mods_ref[l], recips_ref[l], bias, fix_steps)
+        if centered:
+            o_ref[0] = (r - _I32(128)).astype(jnp.int8)
+        else:
+            o_ref[0] = r.astype(jnp.uint8)
+
+    if kara is None:
+        def kern(mods_ref, recips_ref, ar_ref, ai_ref, br_ref, bi_ref,
+                 ore_ref, oim_ref, accr_ref, acci_ref):
+            kk = pl.program_id(3)
+            l = pl.program_id(0)
+
+            @pl.when(kk == 0)
+            def _():
+                accr_ref[:] = jnp.zeros_like(accr_ref)
+                acci_ref[:] = jnp.zeros_like(acci_ref)
+
+            accr_ref[:] += dot(ar_ref, br_ref) - dot(ai_ref, bi_ref)
+            acci_ref[:] += dot(ai_ref, br_ref) + dot(ar_ref, bi_ref)
+
+            @pl.when(kk == pl.num_programs(3) - 1)
+            def _():
+                emit(ore_ref, accr_ref[:], l, mods_ref, recips_ref)
+                emit(oim_ref, acci_ref[:], l, mods_ref, recips_ref)
+
+        scratch = [pltpu.VMEM((bm, bn), jnp.int32)] * 2
+    else:
+        def kern(mods_ref, recips_ref, ar_ref, ai_ref, sa_ref, br_ref,
+                 bi_ref, sb_ref, ore_ref, oim_ref, e_ref, f_ref, g_ref):
+            kk = pl.program_id(3)
+            l = pl.program_id(0)
+
+            @pl.when(kk == 0)
+            def _():
+                e_ref[:] = jnp.zeros_like(e_ref)
+                f_ref[:] = jnp.zeros_like(f_ref)
+                g_ref[:] = jnp.zeros_like(g_ref)
+
+            e_ref[:] += dot(ar_ref, br_ref)
+            f_ref[:] += dot(ai_ref, bi_ref)
+            g_ref[:] += dot(sa_ref, sb_ref)
+
+            @pl.when(kk == pl.num_programs(3) - 1)
+            def _():
+                e, f, g = e_ref[:], f_ref[:], g_ref[:]
+                emit(ore_ref, e - f, l, mods_ref, recips_ref)
+                emit(oim_ref, g - e - f, l, mods_ref, recips_ref)
+
+        scratch = [pltpu.VMEM((bm, bn), jnp.int32)] * 3
+
+    a_spec = pl.BlockSpec((1, bm, bk), lambda l, i, j, kk, *r: (l, i, kk),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, bk, bn), lambda l, i, j, kk, *r: (l, kk, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, bm, bn), lambda l, i, j, kk, *r: (l, i, j),
+                          memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[a_spec] * len(a_ops) + [b_spec] * len(b_ops),
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=scratch,
+    )
+    odt = jnp.int8 if centered else jnp.uint8
+    ops = a_ops + b_ops
+    ore, oim = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((L, mp, np_), odt),
+                   jax.ShapeDtypeStruct((L, mp, np_), odt)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (3 if kara is not None else 4) * L * mp * np_ * kp,
+            bytes_accessed=L * (2 * (mp * kp + kp * np_) + 2 * mp * np_),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(mods, recips, *ops)
+    return ore[:, :m, :n], oim[:, :m, :n]
 
 
 def matmul_crt_pallas(a8: jax.Array, b8: jax.Array, num_moduli: int,

@@ -17,7 +17,9 @@ Usage: python scripts/check_tpu_lowering.py [n] [mode ...]
         "fe"/"fr"/"mp" (the GEMMUL8_FUSED_ENCODE / FUSED_RECONSTRUCT /
         MM_PIPELINE env-gated branches), "vpucrt" / "vpuenc"
         (GEMMUL8_MXU_CRT=0 / GEMMUL8_MXU_ENC=0: the VPU reconstruct /
-        encode fallbacks; mode 0 itself covers the default MXU paths).
+        encode fallbacks; mode 0 itself covers the default MXU paths),
+        "cplx" / "cplxkara" / "cplxaccu" (the fused complex matmul
+        kernel: 4-dot fast, 3-dot karatsuba, accurate-mode shifts).
         Default: 0 1 3
 
 Each config lowers in ~1 s (plus the jax import); the pytest wrapper
@@ -78,7 +80,22 @@ def check(n: int, mode: str) -> int:
     # "accu"/"accu3": accurate-mode (mag7 Pallas) path
     fastmode = mode not in ("accu", "accu3")
 
-    if mode == "f32p3":
+    if mode.startswith("cplx"):
+        from gemmul8_tpu.core import complexgemm as cg
+        from gemmul8_tpu.types import ComputeType
+
+        strat = (ComputeType.COMPLEX_KARATSUBA_MULT if mode == "cplxkara"
+                 else ComputeType.COMPLEX_BIG_MATRIX_ENCODE)
+
+        def fwd(arh, arl, aih, ail, brh, brl, bih, bil):
+            ore, oim = cg.gemm_complex_core(
+                F64Bits(arh, arl), F64Bits(aih, ail),
+                F64Bits(brh, brl), F64Bits(bih, bil),
+                14, mode != "cplxaccu", strat, "f64", use_pallas=True)
+            return ore.hi, ore.lo, oim.hi, oim.lo
+
+        args = [jax.ShapeDtypeStruct((n, n), jnp.uint32)] * 8
+    elif mode == "f32p3":
         def fwd(a, b):
             return gg.gemm_core(a, b, 14, True, "f32", use_pallas=True)
 

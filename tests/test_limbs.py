@@ -95,12 +95,32 @@ def test_mod_m_centered_redundant_and_canonical():
         for l in range(nl):
             red.append([(x >> (16 * l)) & 0xFFFF for x in xs])
         for i in range(len(xs)):
-            # move some mass downward: limb[l] += 2^16 * k, limb[l+1] -= k
-            for l in range(nl - 1):
-                k = rng.randrange(0, 1 << 12)
-                if red[l + 1][i] >= k:
+            if i % 2:
+                # adversarial redistribution: push each limb AS CLOSE TO
+                # the documented 2^29 redundant bound as the limb above
+                # can fund — the MXU digit-assembly path's contract
+                # (_crt_accumulate_mxu limb sums < 2^29) and the quotient
+                # budget (t - t_est < 1.5) are sized for exactly this
+                for l in range(nl - 1):
+                    k = min(red[l + 1][i],
+                            ((1 << 29) - 1 - red[l][i]) >> 16)
                     red[l + 1][i] -= k
                     red[l][i] += k << 16
+                    assert red[l][i] < (1 << 29)
+            else:
+                # random moderate redistribution
+                for l in range(nl - 1):
+                    k = rng.randrange(0, 1 << 12)
+                    if red[l + 1][i] >= k:
+                        red[l + 1][i] -= k
+                        red[l][i] += k << 16
+        # at least one vector must actually sit at the bound's edge for
+        # the large-M counts (for L=2 the VALUE itself is < 2^26, so no
+        # redistribution can reach 2^29 — the bound is unreachable there)
+        if mm > (1 << 32):
+            assert max(red[l][i] for l in range(nl - 1)
+                       for i in range(len(xs))) >= (1 << 29) - (1 << 17), \
+                "redistribution failed to reach the 2^29 bound"
         limbs_r = [jnp.asarray(r, jnp.int32) for r in red]
         mag2, neg2 = rec._mod_m_centered(limbs_r, L)
         got2 = _from_limbs(mag2)

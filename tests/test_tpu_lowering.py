@@ -24,7 +24,9 @@ _SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir,
                                     (512, "f32p3"), (512, "mdp3"),
                                     (512, "fe"),
                                     (512, "fr"), (512, "mp"),
-                                    (512, "vpucrt"), (512, "vpuenc")])
+                                    (512, "vpucrt"), (512, "vpuenc"),
+                                    (512, "cplx"), (512, "cplxkara"),
+                                    (512, "cplxaccu")])
 def test_gemm_lowers_for_tpu(n, mode):
     r = subprocess.run([sys.executable, _SCRIPT, str(n), mode],
                        capture_output=True, text=True, timeout=600)
