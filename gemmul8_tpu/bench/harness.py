@@ -309,6 +309,19 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
                                  seconds=tot, tflops=flops / tot / 1e12,
                                  t_scale=times[0], t_int8gemm=times[1],
                                  t_mod=times[2], t_invscale=times[3]))
+                if dtype == "d" and fast and L == max(num_moduli):
+                    # epilogue-cost row (VERDICT r4 item 6): the SAME
+                    # fused call plus the full C = 1.7*AB - 0.3*C
+                    # softfloat epilogue traced into the step — the
+                    # difference vs the plain row IS the epilogue
+                    tep = _fused_gemm_seconds(a, b, L, fast, iters,
+                                              out_dtype=out_np,
+                                              axpby=(1.7, -0.3))
+                    rows.append(dict(
+                        phi=phi, m=n, n=n, k=n, func=f"{tag}-{L}-axpby",
+                        seconds=tep, tflops=flops / tep / 1e12,
+                        t_scale=np.nan, t_int8gemm=np.nan, t_mod=np.nan,
+                        t_invscale=np.nan))
 
         if dtype == "f":
             # the cuMpSGEMM FP16TCEC_SCALING comparison row (the
@@ -372,9 +385,13 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
 
 
 def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
-                        iters: int, out_dtype=None) -> float:
+                        iters: int, out_dtype=None, axpby=None) -> float:
     """Chained-enqueue wall time of the fused production gemm call
-    (bench.py's protocol, generalized over operand domains)."""
+    (bench.py's protocol, generalized over operand domains).
+
+    axpby=(alpha, beta): additionally trace the full softfloat epilogue
+    C = alpha*AB + beta*C into the step (C = the A operand's bits, any
+    same-shaped f64 works) — the epilogue-cost row."""
     import jax
     import jax.numpy as jnp
 
@@ -387,6 +404,17 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
     kind = _api._out_kind(ca, cb_, out_dtype)
     b_is_bits = isinstance(cb_, F64Bits)
 
+    def epi(o):
+        if axpby is None or kind != "f64":
+            return o
+        from ..core import softfloat as sf
+
+        al, be = axpby
+        out = sf.mul(o, sf.const_f64(al, o.hi.shape))
+        cb0 = F64Bits(ca.hi[:o.hi.shape[0], :o.hi.shape[1]],
+                      ca.lo[:o.hi.shape[0], :o.hi.shape[1]])
+        return sf.add(out, sf.mul(cb0, sf.const_f64(be, o.hi.shape)))
+
     # bench.py's structure: only the perturbed low word is donated and
     # threaded; the other operand buffers are plain reused arguments
     if b_is_bits:
@@ -395,6 +423,8 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
                 y_lo[0, 0] ^ (chk.astype(jnp.uint32) & jnp.uint32(1)))
             o = _g.gemm_core(x, F64Bits(y_hi, y_lo), num_moduli, fastmode,
                              kind)
+            if isinstance(o, F64Bits):
+                o = epi(o)
             leaf = o.hi if isinstance(o, F64Bits) else o
             return y_lo, jnp.sum(leaf[::64, ::64].astype(jnp.float32))
 
@@ -407,6 +437,8 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
         def step(x, y, chk):
             y = y.at[0, 0].add(0 * chk.astype(y.dtype))
             o = _g.gemm_core(x, y, num_moduli, fastmode, kind)
+            if isinstance(o, F64Bits):
+                o = epi(o)
             leaf = o.hi if isinstance(o, F64Bits) else o
             return y, jnp.sum(leaf[::64, ::64].astype(jnp.float32))
 
@@ -449,21 +481,26 @@ def time_check_complex(sizes=(2048, 4096), num_moduli=(14,),
         for fast in fastmodes:
             for ct in compute_types:
                 for L in num_moduli:
-                    def step(st, _ct=ct, _L=L, _fast=fast):
+                    # operands travel as ARGUMENTS, not closures — a
+                    # closed-over jnp array becomes an HLO constant and
+                    # at 8192 the three 256 MB planes blow up the remote
+                    # compile request (measured: helper UNAVAILABLE)
+                    def step(p, q, r, st, _ct=ct, _L=L, _fast=fast):
                         x, chk = st
                         x = x.at[0, 0].add(0 * chk)
                         ore, oim = cg.gemm_complex_core(
-                            ar, ai, x, bi, _L, _fast, ct_map[_ct], "f32",
+                            p, q, x, r, _L, _fast, ct_map[_ct], "f32",
                             jax.default_backend() == "tpu")
                         return x, jnp.sum(ore[::64, ::64]) + oim[0, 0]
 
                     try:
-                        f = jax.jit(step, donate_argnums=(0,))
+                        f = jax.jit(step, donate_argnums=(3,))
                         # fresh B plane per measurement: the chained state
                         # is donated and consumed by the run
                         br = jnp.asarray(br_host)
                         dt, _ = chained_time(
-                            lambda st: f(st), (br, jnp.float32(0)), iters)
+                            lambda st: f(ar, ai, bi, st),
+                            (br, jnp.float32(0)), iters)
                     except Exception as exc:  # pragma: no cover
                         print(f"[time_check_complex] skip {ct}-{L} at {n}:"
                               f" {str(exc)[:100]}")
