@@ -112,3 +112,52 @@ def test_sharded_complex_bigmatrix(mesh):
     ref = a @ b
     rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
     assert rel.max() < 1e-9
+
+
+def test_sharded_complex_all_strategies_match(mesh):
+    """Classic and karatsuba shard too (VERDICT r4 item 5) — and in this
+    exact engine all three strategies produce BIT-IDENTICAL results (the
+    residues of identical integer sums; unlike the reference's FP paths,
+    which differ in rounding)."""
+    from gemmul8_tpu.types import ComputeType
+
+    m, k, n = 16, 64, 32
+    a = phi_matrix(m, k, 0.5, seed=310) + 1j * phi_matrix(m, k, 0.5,
+                                                          seed=311)
+    b = phi_matrix(k, n, 0.5, seed=312) + 1j * phi_matrix(k, n, 0.5,
+                                                          seed=313)
+    outs = {}
+    for ct in (ComputeType.COMPLEX_BIG_MATRIX_ENCODE,
+               ComputeType.COMPLEX_CLASSIC_MULT,
+               ComputeType.COMPLEX_KARATSUBA_MULT):
+        zre, zim = dist.gemm_sharded_complex(a, b, mesh, num_moduli=12,
+                                             compute_type=ct)
+        outs[ct] = (np.asarray(zre.hi), np.asarray(zre.lo),
+                    np.asarray(zim.hi), np.asarray(zim.lo))
+    from gemmul8_tpu.types import F64Bits
+
+    base = outs[ComputeType.COMPLEX_BIG_MATRIX_ENCODE]
+    ref = a @ b
+    got = (bits_to_f64(F64Bits(base[0], base[1]), to_numpy=True)
+           + 1j * bits_to_f64(F64Bits(base[2], base[3]), to_numpy=True))
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert rel.max() < 1e-8
+    for ct, o in outs.items():
+        for x, y in zip(o, base):
+            assert np.array_equal(x, y), ct
+
+
+def test_sharded_complex_mixed_width(mesh):
+    """c128 A x c64 B shards via per-operand dispatch (no canonicalize
+    raise)."""
+    m, k, n = 16, 64, 32
+    a = phi_matrix(m, k, 0.5, seed=320) + 1j * phi_matrix(m, k, 0.5,
+                                                          seed=321)
+    b = (phi_matrix(k, n, 0.5, seed=322)
+         + 1j * phi_matrix(k, n, 0.5, seed=323)).astype(np.complex64)
+    zre, zim = dist.gemm_sharded_complex(a, b, mesh, num_moduli=10)
+    got = (bits_to_f64(zre, to_numpy=True)
+           + 1j * bits_to_f64(zim, to_numpy=True))
+    ref = a @ b.astype(np.complex128)
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert np.median(rel) < 1e-6

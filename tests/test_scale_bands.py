@@ -55,10 +55,13 @@ def test_dgemm_bands_at_reference_scale(operands, fast):
         mx, med = relerr_vs_dd(c.astype(np.float64), ref_hi, ref_lo)
         got[L] = mx
         # "at or inside" the reference band: the band value is a SINGLE
-        # seed's max over 10^6 outputs — a heavy-tailed max-statistic
-        # with 2-3x seed-to-seed spread (measured: accu-13 draws 2.36x
-        # the band at this seed while both neighbors land far inside).
-        # 4x slack covers that spread. Absolute floor: once the CRT is
+        # seed's max over 10^6 outputs — a heavy-tailed max-statistic.
+        # MEASURED seed spread (scripts/band_seed_sweep.py, 3 seeds at
+        # this exact protocol, results_committed/band_seed_sweep_cpu.csv):
+        # 2.4x-8.1x per (mode, L) above the exactness floor — the 4x
+        # slack is not generosity, it is BELOW the observed spread of the
+        # statistic being compared (and at fast-14 all three seeds land
+        # inside the raw band with no slack at all). Absolute floor: once the CRT is
         # exact enough that the result is the correctly-rounded f64
         # product (18+ moduli), max relerr is set by output cancellation
         # (measured 1.6e-14 at this seed), not by the moduli count —
