@@ -104,7 +104,9 @@ def const_minus(const_limbs: Sequence[int], a: Sequence[jax.Array]):
 
 def shift_right(limbs: Sequence[jax.Array], u: jax.Array,
                 n_out: int) -> List[jax.Array]:
-    """Dynamic right shift by u (elementwise int32, 0 <= u <= 16*(len+1)),
+    """Dynamic right shift by u (elementwise int32,
+    0 <= u <= 16*len + 1 — the ladder is sized to that bound; clamp
+    larger shifts to it, the outputs are identical beyond it),
     keeping the lowest n_out output limbs. Canonical input limbs.
     Thin wrapper over shift_right_round (one packed funnel-shift
     implementation to maintain)."""
@@ -140,7 +142,12 @@ def shift_right_round(limbs: Sequence[jax.Array], u: jax.Array,
         words.append(w)
     ntot = n + pre_zero_limbs
     nw_out = (n_out + 1) // 2
-    max_ws = (16 * (ntot + 1)) // 32 + 1
+    # the ladder needs to cover word shifts only up to "every bit below
+    # u": callers clamp u <= 16*ntot + 1 (any larger u produces identical
+    # outputs — zero mant, zero round bit, sticky = value-nonzero), so
+    # ws <= (16*ntot + 1) >> 5. The old (16*(ntot+1))//32 + 1 bound
+    # emitted 3-4 provably-dead select rungs per output word.
+    max_ws = ((16 * ntot + 1) >> 5) + 1
     ws = u >> 5
     b = (u & _I32(31)).astype(_U)
     zero = jnp.zeros_like(words[0])

@@ -152,8 +152,11 @@ def _round_to_float(mag, neg, e_fix, mant_bits: int):
     pre = n_mant_chunks              # 16*4=64 > 53 (f64); 16*2=32 > 24 (f32)
     # lower clamp provably dead: -sr <= mant_bits <= 16*pre (and the
     # subnormal extension only raises sr), so u > 0 for nonzero mag; the
-    # upper clamp keeps the funnel's word-select ladder in range
-    u = jnp.minimum(sr + _I32(16 * pre), _I32(16 * (len(mag) + pre + 1)))
+    # upper clamp keeps the funnel's word-select ladder in range — any
+    # u >= 16*(len+pre)+1 shifts every bit out (same mant/rbit/sticky),
+    # so clamp at exactly that point (the ladder bound in
+    # shift_right_round is sized to it)
+    u = jnp.minimum(sr + _I32(16 * pre), _I32(16 * (len(mag) + pre) + 1))
     # n_mant_chunks limbs suffice: the shifted value's MSB sits at bit
     # (mant_bits-1) (< 16*n_mant_chunks) and the round-up carry tops out
     # at exactly 2^mant_bits, still inside the same limbs — the old +1
