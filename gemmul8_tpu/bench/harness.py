@@ -374,6 +374,15 @@ def time_check(dtype: str = "d", sizes=(1024, 2048, 4096, 8192),
                                  seconds=tosi, tflops=flops / tosi / 1e12,
                                  t_scale=np.nan, t_int8gemm=np.nan,
                                  t_mod=np.nan, t_invscale=np.nan))
+        # release this size's executables and their donation-aliased HBM
+        # before the next (larger) size: the accumulated jit caches
+        # fragment the 16 GB chip enough that the 8192 staged phases OOM
+        # after a full 4096 section (measured r5). Recompiles pull from
+        # the persistent compile cache.
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
     if write_csv:
         path = _csv_path(f"{dtype}_time", outdir)
         with open(path, "w", newline="") as f:
@@ -404,15 +413,19 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
     kind = _api._out_kind(ca, cb_, out_dtype)
     b_is_bits = isinstance(cb_, F64Bits)
 
-    def epi(o):
-        if axpby is None or kind != "f64":
+    def epi(o, x):
+        """x is the TRACED A-operand argument (same shape as the square
+        output) — closing over the host array instead would embed it as
+        an HLO constant and blow the remote compile request at 8192
+        (HTTP 413, same trap as time_check_complex's operands)."""
+        if axpby is None or kind != "f64" or not isinstance(x, F64Bits):
             return o
         from ..core import softfloat as sf
 
         al, be = axpby
         out = sf.mul(o, sf.const_f64(al, o.hi.shape))
-        cb0 = F64Bits(ca.hi[:o.hi.shape[0], :o.hi.shape[1]],
-                      ca.lo[:o.hi.shape[0], :o.hi.shape[1]])
+        cb0 = F64Bits(x.hi[:o.hi.shape[0], :o.hi.shape[1]],
+                      x.lo[:o.hi.shape[0], :o.hi.shape[1]])
         return sf.add(out, sf.mul(cb0, sf.const_f64(be, o.hi.shape)))
 
     # bench.py's structure: only the perturbed low word is donated and
@@ -424,7 +437,7 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
             o = _g.gemm_core(x, F64Bits(y_hi, y_lo), num_moduli, fastmode,
                              kind)
             if isinstance(o, F64Bits):
-                o = epi(o)
+                o = epi(o, x)
             leaf = o.hi if isinstance(o, F64Bits) else o
             return y_lo, jnp.sum(leaf[::64, ::64].astype(jnp.float32))
 
@@ -438,7 +451,7 @@ def _fused_gemm_seconds(a, b, num_moduli: int, fastmode: bool,
             y = y.at[0, 0].add(0 * chk.astype(y.dtype))
             o = _g.gemm_core(x, y, num_moduli, fastmode, kind)
             if isinstance(o, F64Bits):
-                o = epi(o)
+                o = epi(o, x)
             leaf = o.hi if isinstance(o, F64Bits) else o
             return y, jnp.sum(leaf[::64, ::64].astype(jnp.float32))
 
