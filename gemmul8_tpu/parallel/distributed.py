@@ -42,15 +42,36 @@ from ..types import F64Bits
 def make_mesh(n_devices: Optional[int] = None, shape=None,
               axis_names=("x", "y")) -> Mesh:
     """Build a 2D device mesh. With no shape, factor n_devices as close to
-    square as possible (x*y = n)."""
+    square as possible (x*y = n).
+
+    Multi-process: a sub-mesh must include devices from EVERY process —
+    a process excluded from the mesh still joins every collective
+    rendezvous and stalls it (measured: gloo DEADLINE_EXCEEDED). The
+    global device list is process-major, so a naive prefix would take
+    all of process 0's devices first; pick n/process_count from each
+    process instead."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    pc = jax.process_count()
+    if pc > 1 and n < len(devs):
+        per, rem = divmod(n, pc)
+        if rem:
+            raise ValueError(
+                f"n_devices={n} must be a multiple of process_count={pc} "
+                "(every process must own >= 1 mesh device)")
+        picked = []
+        for p in range(pc):
+            local = [d for d in devs if d.process_index == p]
+            picked += local[:per]
+        devs = picked
+    else:
+        devs = list(devs[:n])
     if shape is None:
         x = int(np.floor(np.sqrt(n)))
         while n % x:
             x -= 1
         shape = (x, n // x)
-    return jax.make_mesh(shape, axis_names, devices=devs[:shape[0] * shape[1]])
+    return jax.make_mesh(shape, axis_names, devices=devs)
 
 
 def _encode_local(x, num_moduli, axis, axis_name, use_pallas=False,

@@ -135,11 +135,16 @@ def main():
     virtual = jax.default_backend() == "cpu" and ndev_total > 1
     rows = []
     sizes = []
-    d = 1
+    # multi-process: every mesh must give each process >= 1 device — a
+    # mesh excluding a process stalls its collective rendezvous (each
+    # process joins every barrier). Start the ladder at process_count
+    # and keep multiples of it; single-process keeps the full 1..N ladder.
+    pc = jax.process_count()
+    d = pc
     while d <= ndev_total:
         sizes.append(d)
         d *= 2
-    if sizes[-1] != ndev_total:
+    if sizes and sizes[-1] != ndev_total and ndev_total % pc == 0:
         sizes.append(ndev_total)
     for nd in sizes:
         mesh = dist.make_mesh(nd)
