@@ -25,7 +25,6 @@ reconstructed value is |.| <= ||z_row|| * ||z_col|| <= (M-1)/2.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -405,7 +405,7 @@ def emax_pallas(x, axis: int, block=None):
     return out[:rows] if axis == 1 else out[:, :rows]
 
 
-def mag7_pallas(x, emax, axis: int, mag_shift: int = 5, block=(256, 512)):
+def mag7_pallas(x, emax, axis: int, mag_shift: int = 5, block=(512, 1024)):
     """Round-up 7-bit magnitudes given the row/col emax: elementwise VMEM
     kernel over the operand, (m, k) int8 output (enc._extract_mag7)."""
     is64 = isinstance(x, F64Bits)

@@ -26,7 +26,6 @@ the sharded engine) runs in CI: tests/test_multihost.py.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 
