@@ -101,7 +101,7 @@ def pow2_exponent(x) -> Optional[int]:
 
 
 @_functools.lru_cache(maxsize=None)
-def _jit_epi_f64(alpha: float, beta: float, with_c: bool):
+def _jit_epi_f64(alpha: float, beta: float):
     """One traced softfloat alpha/beta epilogue (O(1) dispatches on TPU;
     the eager chain issued dozens at ~3 ms tunnel cost each)."""
     from .core import softfloat as sf
@@ -119,7 +119,7 @@ def _jit_epi_f64(alpha: float, beta: float, with_c: bool):
 
 
 @_functools.lru_cache(maxsize=None)
-def _jit_epi_f32(alpha: float, beta: float, with_c: bool):
+def _jit_epi_f32(alpha: float, beta: float):
     def f(out, c=None):
         if alpha != 1.0:
             out = out * jnp.float32(alpha)
@@ -150,16 +150,16 @@ def _finalize(c_raw, out_kind: str, alpha, beta, c_in, want_native_f64: bool):
         if alpha != 1.0 or beta != 0.0:
             if beta != 0.0 and c_in is None:
                 raise ValueError("beta != 0 requires c")
-            fn = _jit_epi_f32(float(alpha), float(beta), beta != 0.0)
+            fn = _jit_epi_f32(float(alpha), float(beta))
             out = fn(out, jnp.asarray(c_in, jnp.float32)) if beta != 0.0 \
                 else fn(out)
         return out
     # f64 target: one jitted softfloat graph (bit-identical to the eager
-    # sf.mul/sf.add chain — asserted in tests/test_review_fixes.py)
+    # sf.mul/sf.add chain — asserted in tests/test_epilogue.py)
     if alpha != 1.0 or beta != 0.0:
         if beta != 0.0 and c_in is None:
             raise ValueError("beta != 0 requires c")
-        fn = _jit_epi_f64(float(alpha), float(beta), beta != 0.0)
+        fn = _jit_epi_f64(float(alpha), float(beta))
         if beta != 0.0:
             cb = _canon_c_f64(c_in)
             hi, lo = fn(c_raw.hi, c_raw.lo, cb.hi, cb.lo)

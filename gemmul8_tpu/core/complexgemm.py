@@ -327,7 +327,7 @@ def _cscale(re, im, z):
 
 
 @lru_cache(maxsize=None)
-def _jit_epi_c128(alpha: complex, beta: complex, with_c: bool):
+def _jit_epi_c128(alpha: complex, beta: complex):
     """One traced softfloat complex alpha/beta epilogue (O(1) dispatches
     on TPU — the eager _cscale chain issued dozens)."""
     from . import softfloat as sf
@@ -346,7 +346,7 @@ def _jit_epi_c128(alpha: complex, beta: complex, with_c: bool):
 
 
 @lru_cache(maxsize=None)
-def _jit_epi_c64(alpha: complex, beta: complex, with_c: bool):
+def _jit_epi_c64(alpha: complex, beta: complex):
     def f(ore, oim, cr=None, ci=None):
         ar_, ai_ = alpha.real, alpha.imag
         if alpha != 1.0:
@@ -388,7 +388,7 @@ def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
         if alpha != 1.0 or beta != 0.0:
             if beta != 0.0 and c is None:
                 raise ValueError("beta != 0 requires c")
-            fn = _jit_epi_c64(complex(alpha), complex(beta), beta != 0.0)
+            fn = _jit_epi_c64(complex(alpha), complex(beta))
             if beta != 0.0:
                 cn = np.asarray(c, np.complex64)
                 ore, oim = fn(ore, oim,
@@ -407,7 +407,7 @@ def gemm_complex(a, b, *, alpha=1.0, beta=0.0, c=None, num_moduli=14,
     if alpha != 1.0 or beta != 0.0:
         if beta != 0.0 and c is None:
             raise ValueError("beta != 0 requires c")
-        fn = _jit_epi_c128(complex(alpha), complex(beta), beta != 0.0)
+        fn = _jit_epi_c128(complex(alpha), complex(beta))
         if beta != 0.0:
             c_re, c_im, kind_c = _canon_complex(
                 np.asarray(c) if not isinstance(c, (C64Bits, F64Bits,

@@ -405,12 +405,16 @@ def emax_pallas(x, axis: int, block=None):
     return out[:rows] if axis == 1 else out[:, :rows]
 
 
-def mag7_pallas(x, emax, axis: int, mag_shift: int = 5, block=(512, 1024)):
+def mag7_pallas(x, emax, axis: int, mag_shift: int = 5, block=None):
     """Round-up 7-bit magnitudes given the row/col emax: elementwise VMEM
     kernel over the operand, (m, k) int8 output (enc._extract_mag7)."""
     is64 = isinstance(x, F64Bits)
     mant_bits = 53 if is64 else 24
     m, k = x.shape
+    if block is None:
+        from . import launch
+
+        block = launch.get("mag7")
     bm, bk = block
     mp, kp = _ceil_to(m, bm), _ceil_to(k, bk)
     grid = (mp // bm, kp // bk)

@@ -33,6 +33,7 @@ _V5E = {
     "rec_mxu": (8, 4096),
     "matmul": (1024, 512, 8192),
     "magmax": (1024, 1024, 8192),
+    "mag7": (512, 1024),
 }
 
 # Conservative fallback for unknown chips: half-width second dims keep
@@ -48,6 +49,7 @@ _GENERIC = {
     "rec_mxu": (8, 2048),
     "matmul": (512, 512, 4096),
     "magmax": (512, 512, 4096),
+    "mag7": (256, 512),
 }
 
 # device_kind (lowercased substring) -> profile. v6e gets the v5e blocks

@@ -529,16 +529,17 @@ def matmul_complex_mod_pallas(a8r, a8i, b8r, b8i, num_moduli: int,
         min(bk, _ceil_to(k, 128))
     mp, np_, kp = _ceil_to(m, bm), _ceil_to(n, bn), _ceil_to(k, bk)
 
-    def pad3(t):
-        return jnp.pad(t, ((0, 0), (0, mp - m), (0, kp - k))) \
-            if t.shape[1] == m else \
-            jnp.pad(t, ((0, 0), (0, kp - k), (0, np_ - n)))
+    def pad_a(t):
+        return jnp.pad(t, ((0, 0), (0, mp - m), (0, kp - k)))
 
-    a_ops = [pad3(a8r), pad3(a8i)]
-    b_ops = [pad3(b8r), pad3(b8i)]
+    def pad_b(t):
+        return jnp.pad(t, ((0, 0), (0, kp - k), (0, np_ - n)))
+
+    a_ops = [pad_a(a8r), pad_a(a8i)]
+    b_ops = [pad_b(b8r), pad_b(b8i)]
     if kara is not None:
-        a_ops.append(pad3(kara[0]))
-        b_ops.append(pad3(kara[1]))
+        a_ops.append(pad_a(kara[0]))
+        b_ops.append(pad_b(kara[1]))
     grid = (L, mp // bm, np_ // bn, kp // bk)
     mods, recips = moduli_consts(moduli_idx)
     kp_eff = (3 if kara is not None else 2) * kp

@@ -51,6 +51,9 @@ def make_mesh(n_devices: Optional[int] = None, shape=None,
     all of process 0's devices first; pick n/process_count from each
     process instead."""
     devs = jax.devices()
+    if shape is not None:
+        # explicit shape wins: size the device pick to it
+        n_devices = shape[0] * shape[1]
     n = n_devices or len(devs)
     pc = jax.process_count()
     if pc > 1 and n < len(devs):

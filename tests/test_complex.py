@@ -166,3 +166,26 @@ def test_assemble_c64_host_view():
     assert got.dtype == np.complex64 and got.shape == (33, 47)
     assert np.array_equal(got.view(np.float32)[..., ::2], re)
     assert np.array_equal(got.view(np.float32)[..., 1::2], im)
+
+
+@pytest.mark.parametrize("strat", STRATS)
+def test_complex_pallas_nonsquare_m_equals_k(strat):
+    """Regression (r5 review): the fused complex matmul's operand padding
+    must not disambiguate A vs B by shape — with m == k != n and pad
+    amounts differing, a shape-keyed pad corrupted B's layout (latent
+    until a non-square call; square benches never hit it)."""
+    from gemmul8_tpu.core import complexgemm as cg
+    from gemmul8_tpu.types import bits_to_f64, f64_to_bits
+
+    rng = np.random.default_rng(17)
+    m = k = 40
+    n = 24            # m == k, n different, pads differ per axis
+    ar, ai = rng.standard_normal((m, k)), rng.standard_normal((m, k))
+    br, bi = rng.standard_normal((k, n)), rng.standard_normal((k, n))
+    ore, oim = cg.gemm_complex_core(
+        f64_to_bits(ar), f64_to_bits(ai), f64_to_bits(br), f64_to_bits(bi),
+        14, True, strat, "f64", use_pallas=True)
+    got = bits_to_f64(ore, to_numpy=True) + 1j * bits_to_f64(oim,
+                                                             to_numpy=True)
+    ref = (ar + 1j * ai) @ (br + 1j * bi)
+    assert float(np.abs((got - ref) / np.abs(ref)).max()) < 1e-8

@@ -150,8 +150,8 @@ def test_jitted_epilogue_complex_c64():
 def test_epilogue_dispatch_count_is_constant():
     """The f64 epilogue is ONE jitted callable (cached), i.e. O(1)
     dispatches per gemm call regardless of alpha/beta."""
-    f1 = api._jit_epi_f64(1.7, 0.3, True)
-    f2 = api._jit_epi_f64(1.7, 0.3, True)
+    f1 = api._jit_epi_f64(1.7, 0.3)
+    f2 = api._jit_epi_f64(1.7, 0.3)
     assert f1 is f2
     # and it is a jit-compiled function, not an eager chain
     assert hasattr(f1, "lower")
